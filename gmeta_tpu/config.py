@@ -1,0 +1,120 @@
+"""Typed configuration with per-dataset presets.
+
+Mirrors the reference's 22 argparse flags (G-Meta/train.py:152-177) as a typed
+dataclass, fixing its string-boolean quirks (`--task_mode True`,
+`--link_pred_mode True` as *strings*, G-Meta/train.py:50,74) while keeping the
+same semantics. The five presets reproduce the README recipes
+(G-Meta/README.md:66-179).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass
+class Config:
+    # --- task / episode structure (reference defaults: train.py:153-177) ---
+    data_dir: str = ""
+    task_setup: str = "Disjoint"        # 'Disjoint' | 'Shared'
+    link_pred_mode: bool = False
+    task_mode: bool = False             # Tissue-PPI: data under root/task{task_n}/
+    task_n: int = 1
+    n_way: int = 3
+    k_spt: int = 3
+    k_qry: int = 24
+    h: int = 2                          # hop count; also sets GCN depth (train.py:69-70)
+    sample_nodes: int = 1000            # subgraph node cap (train.py:177)
+    batchsz: int = 1000                 # number of pre-sampled train tasks
+    eval_batchsz: int = 100             # val/test tasks (train.py:90-91 hardcodes 100)
+
+    # --- optimisation ---
+    epoch: int = 10
+    task_num: int = 8                   # meta batch size
+    meta_lr: float = 1e-3
+    update_lr: float = 1e-3
+    update_step: int = 5
+    update_step_test: int = 10
+    first_order: bool = True            # reference never sets create_graph (meta.py:125,149)
+
+    # --- model ---
+    input_dim: int = 1                  # overwritten from features at load (train.py:67)
+    hidden_dim: int = 64
+
+    # --- runtime ---
+    seed: int = 222                     # reference seeds torch/np at 222 (train.py:33-35)
+    dtype: str = "float32"              # compute dtype for activations
+    train_result_report_steps: int = 30
+    num_workers: int = 0                # host pipeline prefetch threads
+    task_microbatch: int = 0            # 0 = all tasks at once; else lax.map chunk size
+    mesh_shape: Optional[tuple] = None  # e.g. (8,) for 8-way task-DP; None = single device
+    checkpoint_dir: str = ""            # empty = no checkpointing
+    checkpoint_every_epochs: int = 1
+    metrics_path: str = ""              # jsonl metrics stream; empty = stdout only
+    remat_inner: bool = False           # jax.checkpoint the inner-loop step
+    use_pallas: bool = False            # Pallas SpMM kernel instead of segment_sum
+    extractor: str = "auto"             # 'auto' | 'native' | 'numpy' host extraction
+
+    @property
+    def labels_num(self) -> int:
+        raise RuntimeError("labels_num is dataset-dependent; use build_model_config")
+
+    def validate(self) -> "Config":
+        assert self.task_setup in ("Disjoint", "Shared"), self.task_setup
+        assert self.h in (1, 2, 3), "h must be 1, 2 or 3 (reference supports only these)"
+        assert self.k_spt >= 1 and self.k_qry >= 1 and self.n_way >= 2
+        assert self.update_step >= 1 and self.update_step_test >= 1
+        if self.link_pred_mode:
+            assert self.task_setup == "Shared", "link prediction uses the Shared setup"
+        return self
+
+
+def build_model_config(cfg: Config, input_dim: int, labels_num: int):
+    """Synthesise the layer spec exactly like the reference (train.py:67-75):
+    h GraphConv layers (depth tied to hop count) then a Linear head; LinkPred
+    doubles the head's input via endpoint-pair concat (learner.py:85,165-168).
+    """
+    layers = [("GraphConv", (input_dim, cfg.hidden_dim))]
+    for _ in range(cfg.h - 1):
+        layers.append(("GraphConv", (cfg.hidden_dim, cfg.hidden_dim)))
+    layers.append(("Linear", (cfg.hidden_dim, labels_num)))
+    if cfg.link_pred_mode:
+        layers.append(("LinkPred", (True,)))
+    return tuple(layers)
+
+
+# The five README recipes (G-Meta/README.md:66-179). `h` defaults to 2 everywhere
+# (none of the recipes overrides it).
+PRESETS = {
+    "arxiv": Config(
+        task_setup="Disjoint", n_way=3, k_spt=3, k_qry=24, h=2,
+        epoch=10, task_num=32, batchsz=10000, hidden_dim=256,
+        update_lr=0.01, meta_lr=1e-3, update_step=10, update_step_test=20,
+        train_result_report_steps=200,
+    ),
+    "tissue_ppi": Config(
+        task_setup="Shared", task_mode=True, task_n=4, k_spt=3, k_qry=10, h=2,
+        epoch=15, task_num=4, batchsz=1000, hidden_dim=128,
+        update_lr=0.01, meta_lr=5e-3, update_step=10, update_step_test=10,
+        train_result_report_steps=200,
+    ),
+    "fold_ppi": Config(
+        task_setup="Disjoint", n_way=3, k_spt=3, k_qry=24, h=2,
+        epoch=5, task_num=16, batchsz=4000, hidden_dim=128,
+        update_lr=0.005, meta_lr=1e-3, update_step=5, update_step_test=20,
+        train_result_report_steps=100,
+    ),
+    "firstmm_db": Config(
+        task_setup="Shared", link_pred_mode=True, n_way=2, k_spt=16, k_qry=32, h=2,
+        epoch=15, task_num=8, batchsz=1500, hidden_dim=128,
+        update_lr=0.01, meta_lr=5e-4, update_step=10, update_step_test=20,
+        train_result_report_steps=200,
+    ),
+    "tree_of_life": Config(
+        task_setup="Shared", link_pred_mode=True, n_way=2, k_spt=16, k_qry=16, h=2,
+        epoch=15, task_num=8, batchsz=5000, hidden_dim=256,
+        update_lr=0.005, meta_lr=5e-4, update_step=10, update_step_test=20,
+        train_result_report_steps=200,
+    ),
+}

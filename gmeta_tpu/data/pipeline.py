@@ -1,0 +1,165 @@
+"""Task materialization + meta-batch streaming.
+
+Equivalent of the reference's `Subgraphs.__getitem__` + DataLoader
+(subgraph_data_processing.py:348-419, train.py:96): extract every subgraph of
+a task, relabel Disjoint tasks to 0..n_way-1 with a shuffled class->slot map
+(:389-397), and pack into static-shape arrays. Tasks are pre-sampled like the
+reference; subgraphs are memoized so epochs after the first are pure cache
+hits. Batches are packed on demand (cheap flat numpy copies) and optionally
+prefetched on a background thread — replacing torch DataLoader workers.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+from gmeta_tpu.data.extract import SubgraphExtractor
+from gmeta_tpu.data.io import SplitIndex
+from gmeta_tpu.data.graph import GraphStore
+from gmeta_tpu.data.pack import TaskBatch, bucket_size, pack_set
+from gmeta_tpu.data.sampler import EpisodeSampler
+
+
+class _RawTask:
+    __slots__ = ("spt_subs", "spt_graphs", "spt_labels",
+                 "qry_subs", "qry_graphs", "qry_labels")
+
+    def __init__(self, spt_subs, spt_graphs, spt_labels,
+                 qry_subs, qry_graphs, qry_labels):
+        self.spt_subs = spt_subs
+        self.spt_graphs = spt_graphs
+        self.spt_labels = spt_labels
+        self.qry_subs = qry_subs
+        self.qry_graphs = qry_graphs
+        self.qry_labels = qry_labels
+
+
+class MetaDataset:
+    """One split's pre-sampled episodic tasks, ready to stream as TaskBatches."""
+
+    def __init__(self, store: GraphStore, extractor: SubgraphExtractor,
+                 index: SplitIndex, labels: Dict[str, int],
+                 task_setup: str, link_pred_mode: bool,
+                 n_way: int, k_spt: int, k_qry: int, batchsz: int,
+                 index_spt: Optional[SplitIndex] = None,
+                 index_qry: Optional[SplitIndex] = None,
+                 seed: int = 222):
+        self.store = store
+        self.extractor = extractor
+        self.task_setup = task_setup
+        self.link_pred_mode = link_pred_mode
+        self.n_way = n_way
+        self.rng = np.random.RandomState(seed + 1)
+
+        # Map raw label values to dense ids preserving sorted order, so
+        # prototype rows keep the reference's `torch.unique` (sorted) order
+        # (meta.py:35,60). Shared-mode labels are used unmapped by the
+        # reference; datasets ship them dense, and this map is then identity.
+        uniq = sorted(set(labels.values()))
+        self.label_to_id = {v: i for i, v in enumerate(uniq)}
+        self.labels = {k: self.label_to_id[v] for k, v in labels.items()}
+        self.num_classes = len(uniq)
+
+        self.sampler = EpisodeSampler(
+            task_setup, link_pred_mode, n_way, k_spt, k_qry, batchsz,
+            index, index_spt=index_spt, index_qry=index_qry, seed=seed)
+
+        self.tasks: List[_RawTask] = [
+            self._materialize(i) for i in range(batchsz)]
+
+        # Global static buckets for this split: max packed size over tasks.
+        self.V_spt = bucket_size(max(
+            sum(s.num_nodes for s in t.spt_subs) for t in self.tasks))
+        self.E_spt = bucket_size(max(
+            sum(s.num_edges for s in t.spt_subs) for t in self.tasks))
+        self.V_qry = bucket_size(max(
+            sum(s.num_nodes for s in t.qry_subs) for t in self.tasks))
+        self.E_qry = bucket_size(max(
+            sum(s.num_edges for s in t.qry_subs) for t in self.tasks))
+
+    # -- task materialization (reference __getitem__ :348-408) ---------------
+
+    def _materialize(self, index: int) -> _RawTask:
+        spt_names = [n for sub in self.sampler.support_x_batch[index] for n in sub]
+        qry_names = [n for sub in self.sampler.query_x_batch[index] for n in sub]
+
+        spt_subs = [self.extractor.extract(n) for n in spt_names]
+        qry_subs = [self.extractor.extract(n) for n in qry_names]
+        spt_graphs = [int(n.split("_")[0]) for n in spt_names]
+        qry_graphs = [int(n.split("_")[0]) for n in qry_names]
+        spt_y = np.array([self.labels[n] for n in spt_names], dtype=np.int64)
+        qry_y = np.array([self.labels[n] for n in qry_names], dtype=np.int64)
+
+        if self.task_setup == "Disjoint":
+            # Shuffled relabel to 0..n_way-1 (:389-397).
+            uniq = np.unique(spt_y)
+            self.rng.shuffle(uniq)
+            spt_rel = np.zeros_like(spt_y)
+            qry_rel = np.zeros_like(qry_y)
+            for slot, l in enumerate(uniq):
+                spt_rel[spt_y == l] = slot
+                qry_rel[qry_y == l] = slot
+            spt_y, qry_y = spt_rel, qry_rel
+
+        return _RawTask(spt_subs, spt_graphs, spt_y,
+                        qry_subs, qry_graphs, qry_y)
+
+    # -- packing + streaming ---------------------------------------------------
+
+    def pack_task(self, t: _RawTask) -> TaskBatch:
+        return TaskBatch(
+            spt=pack_set(t.spt_subs, t.spt_graphs, t.spt_labels, self.store,
+                         self.V_spt, self.E_spt),
+            qry=pack_set(t.qry_subs, t.qry_graphs, t.qry_labels, self.store,
+                         self.V_qry, self.E_qry),
+        )
+
+    def __len__(self) -> int:
+        return len(self.tasks)
+
+    def batches(self, task_num: int, shuffle: bool = True,
+                drop_last: bool = True,
+                num_workers: int = 0) -> Iterator[TaskBatch]:
+        """Yield meta-batches as TaskBatch pytrees with a leading task axis."""
+        import jax
+
+        order = np.arange(len(self.tasks))
+        if shuffle:
+            self.rng.shuffle(order)
+        n = len(order)
+        limit = (n // task_num) * task_num if drop_last else n
+
+        def gen():
+            for start in range(0, limit, task_num):
+                idxs = order[start:start + task_num]
+                packed = [self.pack_task(self.tasks[i]) for i in idxs]
+                yield jax.tree.map(lambda *xs: np.stack(xs, axis=0), *packed)
+
+        if num_workers <= 0:
+            yield from gen()
+            return
+
+        # Single background producer thread (extraction is memoized; packing
+        # is flat copies, so one producer keeps the device fed).
+        q: "queue.Queue" = queue.Queue(maxsize=max(2, num_workers))
+        _END = object()
+
+        def producer():
+            try:
+                for item in gen():
+                    q.put(item)
+            finally:
+                q.put(_END)
+
+        th = threading.Thread(target=producer, daemon=True)
+        th.start()
+        while True:
+            item = q.get()
+            if item is _END:
+                break
+            yield item
+        th.join()

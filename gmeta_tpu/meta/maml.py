@@ -1,0 +1,182 @@
+"""ProtoMAML as pure jitted functions.
+
+The reference's meta-engine (G-Meta/meta.py:82-244) rebuilt TPU-first:
+
+- the inner loop is a `lax.scan` over `update_step` SGD steps on functional
+  fast weights, instead of a Python loop over torch.autograd.grad
+  (meta.py:143-157). Per step: support forward -> proto loss (prototypes
+  refreshed) -> grad -> fast-weight update -> query eval with the *fresh*
+  prototypes and *updated* weights — the reference's exact ordering.
+- FIRST-ORDER by default: the reference never sets create_graph
+  (meta.py:125,149), so inner grads are detached; meta-gradients flow only
+  through the linear theta-term of the fast weights and through the
+  prototypes. `first_order=False` gives full second-order MAML (in JAX:
+  just don't stop_gradient).
+- the meta-batch is `jax.vmap`-ed over tasks instead of the reference's
+  sequential Python task loop (meta.py:118), and the outer step is Adam on
+  the mean last-step query loss with the reference's NaN skip guard
+  (meta.py:161-169) — surfaced as a counted metric instead of silence.
+- `finetunning` (meta.py:175-234) needs no deepcopy: parameters are
+  immutable pytrees; evaluation just runs the inner loop on theta.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from gmeta_tpu.data.pack import TaskBatch
+from gmeta_tpu.meta.protonet import proto_loss_spt, proto_loss_qry
+from gmeta_tpu.models.gcn import forward, init_params
+
+
+class InnerAux(NamedTuple):
+    qry_accs: jnp.ndarray    # (num_steps + 1,) accuracy curve (corrects analog)
+    qry_losses: jnp.ndarray  # (num_steps + 1,)
+    spt_losses: jnp.ndarray  # (num_steps,)
+
+
+def make_inner_loop(layer_spec: Sequence[Tuple[str, tuple]],
+                    proto_classes: int, update_lr: float,
+                    num_steps: int, first_order: bool = True,
+                    compute_dtype=jnp.float32, remat: bool = False):
+    """Returns inner_loop(params, task: TaskBatch, feats) ->
+    (meta_loss, InnerAux). meta_loss is the LAST-step query loss
+    (meta.py:161); the accuracy curve has num_steps+1 entries with entry 0
+    the pre-update evaluation (meta.py:129-134)."""
+
+    def inner_loop(params, task: TaskBatch, feats):
+        def _spt(w):
+            logits = forward(w, task.spt, feats, layer_spec, compute_dtype)
+            loss, acc, protos = proto_loss_spt(
+                logits, task.spt.labels, proto_classes)
+            return loss, (acc, protos)
+
+        def _qry(w, protos):
+            logits = forward(w, task.qry, feats, layer_spec, compute_dtype)
+            return proto_loss_qry(logits, task.qry.labels, protos)
+
+        # Step-0 evaluation: query loss/acc with theta and theta-derived
+        # prototypes, under no_grad in the reference (meta.py:129-134).
+        _, (_, protos0) = _spt(params)
+        q0 = jax.lax.stop_gradient(_qry(params, protos0))
+
+        def step(w, _):
+            (loss_s, (_, protos)), g = jax.value_and_grad(
+                _spt, has_aux=True)(w)
+            if first_order:
+                g = jax.tree.map(jax.lax.stop_gradient, g)
+            w = jax.tree.map(lambda p, gi: p - update_lr * gi, w, g)
+            ql, qa = _qry(w, protos)
+            return w, (ql, qa, loss_s)
+
+        if remat:
+            step = jax.checkpoint(step)
+        _, (qls, qas, sls) = jax.lax.scan(step, params, None, length=num_steps)
+
+        meta_loss = qls[-1]
+        aux = InnerAux(
+            qry_accs=jnp.concatenate([q0[1][None], qas]),
+            qry_losses=jnp.concatenate([q0[0][None], qls]),
+            spt_losses=sls,
+        )
+        return meta_loss, aux
+
+    return inner_loop
+
+
+class MetaLearner:
+    """Owns params + Adam state and the jitted train/eval steps.
+
+    `mesh`/`task_sharding` (optional) shard the meta-batch's task axis across
+    devices; parameters stay replicated and XLA inserts the psum of
+    meta-gradients (the DP plan of SURVEY.md §2.3).
+    """
+
+    def __init__(self, layer_spec, proto_classes: int, *,
+                 update_lr: float, meta_lr: float,
+                 update_step: int, update_step_test: int,
+                 first_order: bool = True, compute_dtype=jnp.float32,
+                 remat: bool = False, seed: int = 222,
+                 mesh=None):
+        self.layer_spec = layer_spec
+        self.params = init_params(jax.random.PRNGKey(seed), layer_spec)
+        self.tx = optax.adam(meta_lr)  # torch.optim.Adam defaults (meta.py:97)
+        self.opt_state = self.tx.init(self.params)
+        self.mesh = mesh
+
+        train_inner = make_inner_loop(
+            layer_spec, proto_classes, update_lr, update_step,
+            first_order=first_order, compute_dtype=compute_dtype, remat=remat)
+        test_inner = make_inner_loop(
+            layer_spec, proto_classes, update_lr, update_step_test,
+            first_order=first_order, compute_dtype=compute_dtype, remat=remat)
+
+        def meta_loss_fn(params, batch: TaskBatch, feats):
+            losses, aux = jax.vmap(
+                train_inner, in_axes=(None, 0, None))(params, batch, feats)
+            return losses.mean(), aux
+
+        def train_step(params, opt_state, batch, feats):
+            (loss, aux), grads = jax.value_and_grad(
+                meta_loss_fn, has_aux=True)(params, batch, feats)
+            updates, new_opt_state = self.tx.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            # NaN skip guard (meta.py:163-169), counted not silent.
+            ok = jnp.isfinite(loss)
+            params = jax.tree.map(
+                lambda n, o: jnp.where(ok, n, o), new_params, params)
+            opt_state = jax.tree.map(
+                lambda n, o: jnp.where(ok, n, o), new_opt_state, opt_state)
+            # Mean accuracy curve over tasks (meta.py:171-173).
+            accs = aux.qry_accs.mean(axis=0)
+            metrics = {"meta_loss": loss, "accs": accs,
+                       "nan_skip": (~ok).astype(jnp.int32)}
+            return params, opt_state, metrics
+
+        def finetune(params, task: TaskBatch, feats):
+            # Single task, update_step_test steps; returns the accuracy curve
+            # (len update_step_test+1, not averaged — meta.py:232-234).
+            _, aux = test_inner(params, task, feats)
+            return aux.qry_accs
+
+        if mesh is not None:
+            from gmeta_tpu.parallel.dp import shard_train_step
+            self._train_step = shard_train_step(train_step, mesh)
+            self._finetune = jax.jit(finetune)
+        else:
+            self._train_step = jax.jit(train_step)
+            self._finetune = jax.jit(finetune)
+
+        self._feats = None
+
+    # -- host-facing API -----------------------------------------------------
+
+    def set_features(self, feats: np.ndarray):
+        self._feats = jax.device_put(jnp.asarray(feats, dtype=jnp.float32))
+
+    def train_step(self, batch: TaskBatch):
+        if self.mesh is not None:
+            from gmeta_tpu.parallel.dp import shard_batch
+            batch = shard_batch(batch, self.mesh)
+        self.params, self.opt_state, metrics = self._train_step(
+            self.params, self.opt_state, batch, self._feats)
+        return metrics
+
+    def finetune(self, task: TaskBatch) -> jnp.ndarray:
+        return self._finetune(self.params, task, self._feats)
+
+    def finetune_with(self, params, task: TaskBatch) -> jnp.ndarray:
+        """Finetune from an explicit parameter snapshot (best-model eval,
+        train.py:139-141)."""
+        return self._finetune(params, task, self._feats)
+
+    def snapshot(self):
+        """Copy of current params (the reference's deepcopy early-stopping
+        snapshot, train.py:127 — here just a reference; pytrees are immutable)."""
+        return self.params

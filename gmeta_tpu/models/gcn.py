@@ -1,0 +1,111 @@
+"""Functional GCN classifier over flat-packed subgraph batches.
+
+Reproduces the reference's model math exactly (G-Meta/learner.py):
+
+- symmetric normalization d^-1/2 with degree clamp(min=1), applied to the
+  features before aggregation and to the result after (learner.py:28-32,49)
+- aggregation over existing in-edges only; NO self-loop is added, so a
+  node's own feature enters only via explicit self-edges (learner.py:38-45)
+- matmul-order switch: project first when in_feats > out_feats
+  (learner.py:34-47) — numerically equivalent, kept as a FLOP optimization
+- +bias then ReLU per GraphConv (learner.py:51-54)
+- after the LAST GraphConv: center-node readout by flat slot index
+  (learner.py:159-170); LinkPred concatenates both endpoints' embeddings
+  (learner.py:165-168)
+- Linear head h @ W.T + b with W of shape (out, in) — (out, 2*in) in
+  LinkPred mode (learner.py:83-90,172-175)
+
+Parameters are a flat tuple of arrays (the functional analog of the
+reference's nn.ParameterList fast weights, learner.py:73,138-139) so the
+MAML inner loop can rebind them per step.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gmeta_tpu.data.pack import SubgraphSet
+from gmeta_tpu.ops.spmm import aggregate, in_degrees
+
+
+def init_params(rng: jax.Array, layer_spec: Sequence[Tuple[str, tuple]]):
+    """Flat (W, b, W, b, ...) tuple in config order, matching the reference
+    inits: GraphConv W ~ xavier_uniform (in, out) with zero bias
+    (learner.py:92-96); Linear W ~ kaiming_normal (out, in[*2]) with zero
+    bias (learner.py:83-90)."""
+    link_pred = layer_spec[-1][0] == "LinkPred"
+    params = []
+    for name, dims in layer_spec:
+        if name == "GraphConv":
+            fan_in, fan_out = dims
+            rng, k = jax.random.split(rng)
+            a = math.sqrt(6.0 / (fan_in + fan_out))
+            w = jax.random.uniform(k, (fan_in, fan_out), jnp.float32, -a, a)
+            params += [w, jnp.zeros((fan_out,), jnp.float32)]
+        elif name == "Linear":
+            fan_in, fan_out = dims
+            in_eff = fan_in * 2 if link_pred else fan_in
+            rng, k = jax.random.split(rng)
+            std = math.sqrt(2.0 / in_eff)  # kaiming_normal_, fan_in mode, a=0
+            w = jax.random.normal(k, (fan_out, in_eff), jnp.float32) * std
+            params += [w, jnp.zeros((fan_out,), jnp.float32)]
+        elif name == "LinkPred":
+            pass
+        else:
+            raise ValueError(name)
+    return tuple(params)
+
+
+def forward(params, sg: SubgraphSet, feats: jnp.ndarray,
+            layer_spec: Sequence[Tuple[str, tuple]],
+            compute_dtype=jnp.float32) -> jnp.ndarray:
+    """Logits (S, out) for one packed subgraph set.
+
+    `feats` is the global packed feature table; the gather by node_gid
+    replaces the reference's host-side per-task np.vstack feature gather
+    (meta.py:119-120).
+    """
+    link_pred = layer_spec[-1][0] == "LinkPred"
+    V = sg.node_gid.shape[0]
+
+    deg = in_degrees(sg.edge_dst, sg.edge_mask, V)
+    norm = jax.lax.rsqrt(jnp.maximum(deg, 1.0))[:, None]  # clamp(min=1)^-0.5
+
+    h = feats[sg.node_gid].astype(compute_dtype) * sg.node_mask[:, None]
+    norm = norm.astype(compute_dtype)
+
+    idx = 0
+    gcn_layers = [d for n, d in layer_spec if n == "GraphConv"]
+    for li, (fan_in, fan_out) in enumerate(gcn_layers):
+        w = params[idx].astype(compute_dtype)
+        b = params[idx + 1].astype(compute_dtype)
+        idx += 2
+        h = h * norm
+        if fan_in > fan_out:
+            h = jnp.dot(h, w, preferred_element_type=compute_dtype)
+            h = aggregate(h, sg.edge_src, sg.edge_dst, sg.edge_mask, V)
+        else:
+            h = aggregate(h, sg.edge_src, sg.edge_dst, sg.edge_mask, V)
+            h = jnp.dot(h, w, preferred_element_type=compute_dtype)
+        h = h * norm + b
+        h = jax.nn.relu(h)
+        if li == len(gcn_layers) - 1:
+            if link_pred:
+                h = jnp.concatenate(
+                    [h[sg.centers[:, 0]], h[sg.centers[:, 1]]], axis=1)
+            else:
+                h = h[sg.centers[:, 0]]
+
+    w, b = params[idx], params[idx + 1]
+    logits = jnp.dot(h, w.T.astype(compute_dtype),
+                     preferred_element_type=jnp.float32) + b
+    return logits.astype(jnp.float32)
+
+
+def count_params(params) -> int:
+    return int(sum(np.prod(p.shape) for p in params))

@@ -1,0 +1,81 @@
+import numpy as np
+
+from gmeta_tpu.data.extract import SubgraphExtractor
+from gmeta_tpu.data.graph import CSRGraph
+
+
+def bfs_in_hops(src, dst, start, h):
+    """Brute-force h-hop in-neighborhood (following in-edges), incl. start."""
+    preds = {}
+    for s, d in zip(src, dst):
+        preds.setdefault(int(d), set()).add(int(s))
+    frontier = {start}
+    seen = {start}
+    for _ in range(h):
+        frontier = set().union(*[preds.get(v, set()) for v in frontier]) if frontier else set()
+        seen |= frontier
+    return seen
+
+
+def make_graph(seed=0, n=40, m=150):
+    rng = np.random.RandomState(seed)
+    src, dst = rng.randint(0, n, m), rng.randint(0, n, m)
+    return src, dst, CSRGraph.from_edges(src, dst, n)
+
+
+def test_h_hop_neighborhoods():
+    src, dst, g = make_graph()
+    for h in (1, 2, 3):
+        ex = SubgraphExtractor([g], h=h, sample_nodes=10_000)
+        for center in (0, 5, 17):
+            sub = ex.extract_node(0, center, f"0_{center}_h{h}")
+            want = sorted(bfs_in_hops(src, dst, center, h))
+            assert sub.parents.tolist() == want
+            # center index correct
+            assert sub.parents[sub.centers[0]] == center
+
+
+def test_induced_subgraph_edges_and_center():
+    src, dst, g = make_graph(seed=3)
+    ex = SubgraphExtractor([g], h=2, sample_nodes=10_000)
+    sub = ex.extract_node(0, 7, "0_7")
+    node_set = set(sub.parents.tolist())
+    pos = {v: i for i, v in enumerate(sub.parents.tolist())}
+    want = sorted((pos[int(s)], pos[int(d)]) for s, d in zip(src, dst)
+                  if int(s) in node_set and int(d) in node_set)
+    got = sorted(zip(sub.edge_src.tolist(), sub.edge_dst.tolist()))
+    assert got == want
+
+
+def test_sample_nodes_cap_readds_center():
+    # star graph: center 0 has 50 in-neighbors
+    src = np.arange(1, 51)
+    dst = np.zeros(50, dtype=int)
+    g = CSRGraph.from_edges(src, dst, 51)
+    ex = SubgraphExtractor([g], h=1, sample_nodes=10, seed=0)
+    sub = ex.extract_node(0, 0, "0_0")
+    # capped to <= sample_nodes + 1 (center re-added after uniform choice,
+    # subgraph_data_processing.py:312-314)
+    assert sub.num_nodes <= 11
+    assert 0 in sub.parents.tolist()
+    assert sub.parents[sub.centers[0]] == 0
+
+
+def test_link_pred_union_ignores_h():
+    src, dst, g = make_graph(seed=5)
+    # the reference's link-pred extraction is ALWAYS 2-hop (:323-339)
+    for h in (1, 3):
+        ex = SubgraphExtractor([g], h=h, sample_nodes=10_000)
+        sub = ex.extract_link(0, 3, 9, f"0_3_9_h{h}")
+        want = sorted(bfs_in_hops(src, dst, 3, 2) | bfs_in_hops(src, dst, 9, 2))
+        assert sub.parents.tolist() == want
+        assert sub.parents[sub.centers[0]] == 3
+        assert sub.parents[sub.centers[1]] == 9
+
+
+def test_memoization():
+    _, _, g = make_graph(seed=6)
+    ex = SubgraphExtractor([g], h=2, sample_nodes=10_000)
+    a = ex.extract_node(0, 4, "0_4")
+    b = ex.extract_node(0, 4, "0_4")
+    assert a is b
