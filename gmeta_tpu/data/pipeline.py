@@ -71,13 +71,15 @@ class MetaDataset:
         self.tasks: List[_RawTask] = [
             self._materialize(i) for i in range(batchsz)]
 
-        # Global static buckets for this split: max packed size over tasks.
-        self.V_spt = bucket_size(max(
-            sum(s.num_nodes for s in t.spt_subs) for t in self.tasks))
+        # Global static buckets for this split: P = per-subgraph node stride
+        # (bucketed max subgraph size; bounded by the sample_nodes cap),
+        # E = bucketed max total edges of a task's set.
+        self.P_spt = bucket_size(max(
+            s.num_nodes for t in self.tasks for s in t.spt_subs), floor=64)
         self.E_spt = bucket_size(max(
             sum(s.num_edges for s in t.spt_subs) for t in self.tasks))
-        self.V_qry = bucket_size(max(
-            sum(s.num_nodes for s in t.qry_subs) for t in self.tasks))
+        self.P_qry = bucket_size(max(
+            s.num_nodes for t in self.tasks for s in t.qry_subs), floor=64)
         self.E_qry = bucket_size(max(
             sum(s.num_edges for s in t.qry_subs) for t in self.tasks))
 
@@ -113,10 +115,19 @@ class MetaDataset:
     def pack_task(self, t: _RawTask) -> TaskBatch:
         return TaskBatch(
             spt=pack_set(t.spt_subs, t.spt_graphs, t.spt_labels, self.store,
-                         self.V_spt, self.E_spt),
+                         self.P_spt, self.E_spt),
             qry=pack_set(t.qry_subs, t.qry_graphs, t.qry_labels, self.store,
-                         self.V_qry, self.E_qry),
+                         self.P_qry, self.E_qry),
         )
+
+    def stacked_pool(self) -> TaskBatch:
+        """All tasks packed + stacked (leading axis = batchsz), for placing
+        the whole pre-sampled pool in device HBM (MetaLearner.set_task_pool).
+        Worth it when batchsz * bucket sizes fit HBM; otherwise stream
+        `batches()`."""
+        import jax
+        packed = [self.pack_task(t) for t in self.tasks]
+        return jax.tree.map(lambda *xs: np.stack(xs, axis=0), *packed)
 
     def __len__(self) -> int:
         return len(self.tasks)

@@ -32,7 +32,7 @@ import optax
 
 from gmeta_tpu.data.pack import TaskBatch
 from gmeta_tpu.meta.protonet import proto_loss_spt, proto_loss_qry
-from gmeta_tpu.models.gcn import forward, init_params
+from gmeta_tpu.models.gcn import forward, init_params, precompute
 
 
 class InnerAux(NamedTuple):
@@ -51,14 +51,21 @@ def make_inner_loop(layer_spec: Sequence[Tuple[str, tuple]],
     the pre-update evaluation (meta.py:129-134)."""
 
     def inner_loop(params, task: TaskBatch, feats):
+        # Adjacency + norm are constant across inner steps: densify ONCE here
+        # (a scalar scatter), so the scanned step body is pure MXU matmuls.
+        dense_spt = precompute(task.spt, compute_dtype)
+        dense_qry = precompute(task.qry, compute_dtype)
+
         def _spt(w):
-            logits = forward(w, task.spt, feats, layer_spec, compute_dtype)
+            logits = forward(w, task.spt, feats, layer_spec,
+                             dense=dense_spt, compute_dtype=compute_dtype)
             loss, acc, protos = proto_loss_spt(
                 logits, task.spt.labels, proto_classes)
             return loss, (acc, protos)
 
         def _qry(w, protos):
-            logits = forward(w, task.qry, feats, layer_spec, compute_dtype)
+            logits = forward(w, task.qry, feats, layer_spec,
+                             dense=dense_qry, compute_dtype=compute_dtype)
             return proto_loss_qry(logits, task.qry.labels, protos)
 
         # Step-0 evaluation: query loss/acc with theta and theta-derived
@@ -145,6 +152,13 @@ class MetaLearner:
             _, aux = test_inner(params, task, feats)
             return aux.qry_accs
 
+        def train_step_pool(params, opt_state, pool, idxs, feats):
+            # Gather the meta-batch from the device-resident task pool inside
+            # jit: per-step host->device traffic is just `idxs` (bytes), the
+            # TPU-native replacement for re-shipping packed batches each step.
+            batch = jax.tree.map(lambda x: x[idxs], pool)
+            return train_step(params, opt_state, batch, feats)
+
         if mesh is not None:
             from gmeta_tpu.parallel.dp import shard_train_step
             self._train_step = shard_train_step(train_step, mesh)
@@ -152,13 +166,28 @@ class MetaLearner:
         else:
             self._train_step = jax.jit(train_step)
             self._finetune = jax.jit(finetune)
+        self._train_step_pool = jax.jit(train_step_pool)
 
         self._feats = None
+        self._pool = None
 
     # -- host-facing API -----------------------------------------------------
 
     def set_features(self, feats: np.ndarray):
         self._feats = jax.device_put(jnp.asarray(feats, dtype=jnp.float32))
+
+    def set_task_pool(self, pool: TaskBatch):
+        """Place a stacked task pool (leading axis = number of tasks) in
+        device HBM once; subsequent train_step_from_pool calls transfer only
+        task indices."""
+        self._pool = jax.tree.map(
+            lambda x: jax.device_put(jnp.asarray(x)), pool)
+
+    def train_step_from_pool(self, idxs):
+        idxs = jnp.asarray(idxs, dtype=jnp.int32)
+        self.params, self.opt_state, metrics = self._train_step_pool(
+            self.params, self.opt_state, self._pool, idxs, self._feats)
+        return metrics
 
     def train_step(self, batch: TaskBatch):
         if self.mesh is not None:

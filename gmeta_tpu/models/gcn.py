@@ -1,4 +1,4 @@
-"""Functional GCN classifier over flat-packed subgraph batches.
+"""Functional GCN classifier over packed subgraph batches.
 
 Reproduces the reference's model math exactly (G-Meta/learner.py):
 
@@ -15,6 +15,12 @@ Reproduces the reference's model math exactly (G-Meta/learner.py):
 - Linear head h @ W.T + b with W of shape (out, in) — (out, 2*in) in
   LinkPred mode (learner.py:83-90,172-175)
 
+TPU mapping: the strided packing (pack.py) makes the batch adjacency
+block-diagonal, so aggregation is a batched dense matmul on the MXU
+(ops/spmm.py). `precompute` builds (A, norm) once per task — adjacency is
+constant across the MAML inner loop, so no scatter ever runs inside the
+scanned inner step.
+
 Parameters are a flat tuple of arrays (the functional analog of the
 reference's nn.ParameterList fast weights, learner.py:73,138-139) so the
 MAML inner loop can rebind them per step.
@@ -23,14 +29,20 @@ MAML inner loop can rebind them per step.
 from __future__ import annotations
 
 import math
-from typing import Sequence, Tuple
+from typing import NamedTuple, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from gmeta_tpu.data.pack import SubgraphSet
-from gmeta_tpu.ops.spmm import aggregate, in_degrees
+from gmeta_tpu.ops.spmm import aggregate_dense, degrees_from_dense, densify
+
+
+class DenseGraph(NamedTuple):
+    """Per-task precomputed aggregation operands (constant over inner steps)."""
+    A: jnp.ndarray      # (S, P, P) block-diagonal adjacency
+    norm: jnp.ndarray   # (S, P, 1) clamp(deg,1)^-1/2
 
 
 def init_params(rng: jax.Array, layer_spec: Sequence[Tuple[str, tuple]]):
@@ -61,8 +73,19 @@ def init_params(rng: jax.Array, layer_spec: Sequence[Tuple[str, tuple]]):
     return tuple(params)
 
 
+def precompute(sg: SubgraphSet, compute_dtype=jnp.float32) -> DenseGraph:
+    """Build the block-diagonal adjacency + symmetric norm once per task."""
+    S, P = sg.num_subgraphs, sg.stride
+    A = densify(sg.edge_src, sg.edge_dst, sg.edge_mask, S, P,
+                dtype=compute_dtype)
+    deg = degrees_from_dense(A)
+    norm = jax.lax.rsqrt(jnp.maximum(deg, 1.0))[..., None]  # clamp(min=1)^-.5
+    return DenseGraph(A=A, norm=norm.astype(compute_dtype))
+
+
 def forward(params, sg: SubgraphSet, feats: jnp.ndarray,
             layer_spec: Sequence[Tuple[str, tuple]],
+            dense: DenseGraph = None,
             compute_dtype=jnp.float32) -> jnp.ndarray:
     """Logits (S, out) for one packed subgraph set.
 
@@ -71,13 +94,14 @@ def forward(params, sg: SubgraphSet, feats: jnp.ndarray,
     (meta.py:119-120).
     """
     link_pred = layer_spec[-1][0] == "LinkPred"
-    V = sg.node_gid.shape[0]
+    S, P = sg.num_subgraphs, sg.stride
 
-    deg = in_degrees(sg.edge_dst, sg.edge_mask, V)
-    norm = jax.lax.rsqrt(jnp.maximum(deg, 1.0))[:, None]  # clamp(min=1)^-0.5
+    if dense is None:
+        dense = precompute(sg, compute_dtype)
+    A, norm = dense.A, dense.norm
 
     h = feats[sg.node_gid].astype(compute_dtype) * sg.node_mask[:, None]
-    norm = norm.astype(compute_dtype)
+    h = h.reshape(S, P, -1)
 
     idx = 0
     gcn_layers = [d for n, d in layer_spec if n == "GraphConv"]
@@ -85,16 +109,22 @@ def forward(params, sg: SubgraphSet, feats: jnp.ndarray,
         w = params[idx].astype(compute_dtype)
         b = params[idx + 1].astype(compute_dtype)
         idx += 2
+        # Matmuls accumulate in f32 (MXU native for bf16 inputs), results
+        # cast back to the compute dtype — the bf16-compute/f32-accumulate
+        # TPU idiom. With compute_dtype=f32 this is exact.
         h = h * norm
         if fan_in > fan_out:
-            h = jnp.dot(h, w, preferred_element_type=compute_dtype)
-            h = aggregate(h, sg.edge_src, sg.edge_dst, sg.edge_mask, V)
+            h = jnp.dot(h, w,
+                        preferred_element_type=jnp.float32).astype(compute_dtype)
+            h = aggregate_dense(A, h).astype(compute_dtype)
         else:
-            h = aggregate(h, sg.edge_src, sg.edge_dst, sg.edge_mask, V)
-            h = jnp.dot(h, w, preferred_element_type=compute_dtype)
+            h = aggregate_dense(A, h).astype(compute_dtype)
+            h = jnp.dot(h, w,
+                        preferred_element_type=jnp.float32).astype(compute_dtype)
         h = h * norm + b
         h = jax.nn.relu(h)
         if li == len(gcn_layers) - 1:
+            h = h.reshape(S * P, -1)
             if link_pred:
                 h = jnp.concatenate(
                     [h[sg.centers[:, 0]], h[sg.centers[:, 1]]], axis=1)
