@@ -1,0 +1,165 @@
+"""Prototype losses + MAML inner loop vs oracles (SURVEY.md §4 tiers 1-2;
+reference math at G-Meta/meta.py:14-79,101-173)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gmeta_tpu.config import Config, build_model_config
+from gmeta_tpu.data.synthetic import synthetic_disjoint
+from gmeta_tpu.meta.protonet import proto_loss_spt, proto_loss_qry, prototypes
+from gmeta_tpu.meta.maml import MetaLearner, make_inner_loop
+from gmeta_tpu.models.gcn import forward, init_params
+
+from oracle import proto_loss
+
+
+def test_proto_loss_matches_oracle():
+    rng = np.random.RandomState(0)
+    n_cls, k = 4, 5
+    y = np.repeat(np.arange(n_cls), k)
+    rng.shuffle(y)
+    logits = rng.randn(n_cls * k, n_cls).astype(np.float32)
+
+    loss, acc, protos = proto_loss_spt(jnp.asarray(logits), jnp.asarray(y), n_cls)
+    o_loss, o_acc, o_protos = proto_loss(logits.astype(np.float64), y)
+    np.testing.assert_allclose(float(loss), o_loss, rtol=1e-4)
+    np.testing.assert_allclose(float(acc), o_acc, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(protos), o_protos, rtol=1e-4, atol=1e-5)
+
+    # query against support-derived prototypes
+    q_logits = rng.randn(12, n_cls).astype(np.float32)
+    q_y = rng.randint(0, n_cls, 12)
+    ql, qa = proto_loss_qry(jnp.asarray(q_logits), jnp.asarray(q_y), protos)
+    o_ql, o_qa, _ = proto_loss(q_logits.astype(np.float64), q_y, o_protos)
+    np.testing.assert_allclose(float(ql), o_ql, rtol=1e-4)
+    np.testing.assert_allclose(float(qa), o_qa, rtol=1e-6)
+
+
+def _tiny_task():
+    store, ds = synthetic_disjoint(num_graphs=1, nodes_per_graph=120,
+                                   avg_degree=5, feat_dim=8, num_classes=9,
+                                   n_way=3, k_spt=3, k_qry=4, batchsz=3,
+                                   h=2, sample_nodes=50, seed=1)
+    cfg = Config(n_way=3, k_spt=3, k_qry=4, h=2, hidden_dim=8)
+    spec = build_model_config(cfg, store.feat_dim, cfg.n_way)
+    batch = next(ds["train"].batches(2, shuffle=False))
+    task0 = jax.tree.map(lambda x: jnp.asarray(x[0]), batch)
+    feats = jnp.asarray(store.features)
+    return store, cfg, spec, batch, task0, feats
+
+
+def test_inner_loop_matches_explicit_first_order_trajectory():
+    """The lax.scan inner loop must reproduce an explicit python-loop
+    first-order ProtoMAML trajectory (meta.py:122-157 semantics: refresh
+    prototypes each step, SGD on fast weights, query eval after update)."""
+    _, cfg, spec, _, task, feats = _tiny_task()
+    params = init_params(jax.random.PRNGKey(2), spec)
+    lr, steps = 0.05, 4
+
+    inner = make_inner_loop(spec, cfg.n_way, lr, steps, first_order=True)
+    meta_loss, aux = jax.jit(inner)(params, task, feats)
+
+    # explicit reference trajectory
+    def spt_loss(w):
+        logits = forward(w, task.spt, feats, spec)
+        l, a, p = proto_loss_spt(logits, task.spt.labels, cfg.n_way)
+        return l, p
+
+    w = params
+    q_accs, q_losses = [], []
+    # step-0 eval (pre-update, theta prototypes)
+    _, p0 = spt_loss(w)
+    ql, qa = proto_loss_qry(forward(w, task.qry, feats, spec),
+                            task.qry.labels, p0)
+    q_accs.append(float(qa)); q_losses.append(float(ql))
+    for _ in range(steps):
+        (l, protos), g = jax.value_and_grad(spt_loss, has_aux=True)(w)
+        w = jax.tree.map(lambda p_, g_: p_ - lr * g_, w, g)
+        ql, qa = proto_loss_qry(forward(w, task.qry, feats, spec),
+                                task.qry.labels, protos)
+        q_accs.append(float(qa)); q_losses.append(float(ql))
+
+    np.testing.assert_allclose(np.asarray(aux.qry_accs), q_accs, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(aux.qry_losses), q_losses,
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(float(meta_loss), q_losses[-1], rtol=1e-4)
+
+
+def test_first_vs_second_order_meta_gradients_differ():
+    _, cfg, spec, _, task, feats = _tiny_task()
+    params = init_params(jax.random.PRNGKey(3), spec)
+    g1 = jax.grad(lambda p: make_inner_loop(spec, cfg.n_way, 0.05, 3,
+                                            first_order=True)(p, task, feats)[0])(params)
+    g2 = jax.grad(lambda p: make_inner_loop(spec, cfg.n_way, 0.05, 3,
+                                            first_order=False)(p, task, feats)[0])(params)
+    diffs = [float(np.abs(np.asarray(a) - np.asarray(b)).max())
+             for a, b in zip(g1, g2)]
+    assert max(diffs) > 1e-6  # second-order pathway actually flows
+    assert all(np.isfinite(np.asarray(g)).all() for g in g2)
+
+
+def test_dp_sharded_step_matches_single_device():
+    """Task-DP over a 2-device mesh must produce the same meta-loss and
+    meta-gradients as the unsharded computation (XLA psum == vmap mean).
+    Gradients, not Adam-updated params, are compared: Adam's first step is
+    ~sign(g)*lr, which amplifies reduction-order noise on near-zero grads."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from gmeta_tpu.parallel.mesh import make_mesh
+    store, cfg, spec, batch, _, feats = _tiny_task()
+    params = init_params(jax.random.PRNGKey(0), spec)
+    inner = make_inner_loop(spec, cfg.n_way, 0.05, 3, first_order=True)
+
+    def meta_loss(p, b):
+        losses, _ = jax.vmap(inner, in_axes=(None, 0, None))(p, b, feats)
+        return losses.mean()
+
+    l0, g0 = jax.value_and_grad(meta_loss)(params, batch)
+
+    mesh = make_mesh(task=2)
+    rep = NamedSharding(mesh, P())
+    shd = NamedSharding(mesh, P("task"))
+    sharded = jax.jit(jax.value_and_grad(meta_loss),
+                      in_shardings=(rep, shd), out_shardings=(rep, rep))
+    batch_dev = jax.tree.map(lambda x: jax.device_put(jnp.asarray(x), shd), batch)
+    l1, g1 = sharded(params, batch_dev)
+
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b_ in zip(g0, g1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_determinism_same_seed_same_result():
+    store, cfg, spec, batch, _, feats = _tiny_task()
+
+    def run():
+        ml = MetaLearner(spec, cfg.n_way, update_lr=0.05, meta_lr=1e-3,
+                         update_step=3, update_step_test=3, seed=7)
+        ml.set_features(np.asarray(feats))
+        m = ml.train_step(batch)
+        return float(m["meta_loss"]), [np.asarray(p) for p in ml.params]
+
+    l1, p1 = run()
+    l2, p2 = run()
+    assert l1 == l2
+    for a, b in zip(p1, p2):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_nan_guard_skips_update():
+    """A NaN meta-loss must leave params and opt state untouched and be
+    counted (meta.py:163-169, surfaced as a metric)."""
+    store, cfg, spec, batch, _, feats = _tiny_task()
+    ml = MetaLearner(spec, cfg.n_way, update_lr=0.05, meta_lr=1e-3,
+                     update_step=3, update_step_test=3, seed=0)
+    bad = np.asarray(feats).copy()
+    bad[0, 0] = np.nan
+    # make every task's support touch node gid 0? Instead poison all feats.
+    bad[:] = np.nan
+    ml.set_features(bad)
+    before = [np.asarray(p).copy() for p in ml.params]
+    m = ml.train_step(batch)
+    assert int(m["nan_skip"]) == 1
+    for p0, p1 in zip(before, ml.params):
+        np.testing.assert_array_equal(p0, np.asarray(p1))
