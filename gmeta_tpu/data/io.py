@@ -135,7 +135,16 @@ class Dataset:
 
     def __init__(self, root: str, task_setup: str, link_pred_mode: bool,
                  task_mode: bool = False, task_n: int = 1):
+        # Graph/feature files may live one level up when `root` is a fold
+        # subdirectory (node_process.py:82-99 writes csvs under fold{n}/ but
+        # graphs at the top level).
         graph_root = root
+        if not (os.path.exists(os.path.join(graph_root, "graphs.npz"))
+                or os.path.exists(os.path.join(graph_root, "graph_dgl.pkl"))):
+            parent = os.path.dirname(os.path.abspath(root))
+            if (os.path.exists(os.path.join(parent, "graphs.npz"))
+                    or os.path.exists(os.path.join(parent, "graph_dgl.pkl"))):
+                graph_root = parent
         self.graphs = load_graph_list(graph_root)
         self.feature_list = load_features(os.path.join(graph_root, "features.npy"))
         self.store = GraphStore(self.graphs, self.feature_list)

@@ -134,13 +134,17 @@ class MetaDataset:
 
     def batches(self, task_num: int, shuffle: bool = True,
                 drop_last: bool = True,
-                num_workers: int = 0) -> Iterator[TaskBatch]:
-        """Yield meta-batches as TaskBatch pytrees with a leading task axis."""
+                num_workers: int = 0,
+                seed: Optional[int] = None) -> Iterator[TaskBatch]:
+        """Yield meta-batches as TaskBatch pytrees with a leading task axis.
+        Passing `seed` makes the epoch's order a pure function of it
+        (checkpoint resume at epoch boundaries reproduces the stream)."""
         import jax
 
         order = np.arange(len(self.tasks))
         if shuffle:
-            self.rng.shuffle(order)
+            rng = self.rng if seed is None else np.random.RandomState(seed)
+            rng.shuffle(order)
         n = len(order)
         limit = (n // task_num) * task_num if drop_last else n
 

@@ -152,6 +152,16 @@ class MetaLearner:
             _, aux = test_inner(params, task, feats)
             return aux.qry_accs
 
+        def finetune_batch(params, batch: TaskBatch, feats):
+            # Vmapped eval over a batch of tasks -> (T, update_step_test+1)
+            # accuracy curves. Replaces the reference's one-task-at-a-time
+            # val/test DataLoader loop (train.py:115-121,129-134) with one
+            # dispatch; the deepcopy there is unnecessary here since params
+            # are immutable.
+            _, aux = jax.vmap(test_inner, in_axes=(None, 0, None))(
+                params, batch, feats)
+            return aux.qry_accs
+
         def train_step_pool(params, opt_state, pool, idxs, feats):
             # Gather the meta-batch from the device-resident task pool inside
             # jit: per-step host->device traffic is just `idxs` (bytes), the
@@ -167,6 +177,7 @@ class MetaLearner:
             self._train_step = jax.jit(train_step)
             self._finetune = jax.jit(finetune)
         self._train_step_pool = jax.jit(train_step_pool)
+        self._finetune_batch = jax.jit(finetune_batch)
 
         self._feats = None
         self._pool = None
@@ -204,6 +215,11 @@ class MetaLearner:
         """Finetune from an explicit parameter snapshot (best-model eval,
         train.py:139-141)."""
         return self._finetune(params, task, self._feats)
+
+    def finetune_batch(self, batch: TaskBatch, params=None) -> jnp.ndarray:
+        """(T, update_step_test+1) accuracy curves for a batch of tasks."""
+        p = self.params if params is None else params
+        return self._finetune_batch(p, batch, self._feats)
 
     def snapshot(self):
         """Copy of current params (the reference's deepcopy early-stopping

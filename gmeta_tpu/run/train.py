@@ -1,0 +1,253 @@
+"""Training driver: the reference's full protocol, TPU-native.
+
+Replicates G-Meta/train.py:86-148 semantics — per-epoch train loop over
+task_num-sized meta-batches, per-epoch validation with early-stopping
+snapshot of the best model (val acc at the LAST finetune step,
+train.py:123-127), final test of both the last and the best model — with
+the systems layers the reference lacks: structured jsonl metrics,
+checkpoint/resume, vmapped batched evaluation, and optional task-DP mesh
+sharding.
+
+Reporting parity notes (SURVEY.md §6 caveats): the reference prints
+`accs[1]` as "Test acc" (train.py:137) and its "Early Stopped Test acc"
+averages a list contaminated by the previous test loop (train.py:130-146).
+Both reference-style numbers are reported alongside the clean ones.
+
+CLI: python -m gmeta_tpu.run.train --preset arxiv --data_dir ... [overrides]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gmeta_tpu.config import Config, PRESETS, build_model_config
+from gmeta_tpu.data.pipeline import MetaDataset
+from gmeta_tpu.meta.maml import MetaLearner
+from gmeta_tpu.models.gcn import count_params
+from gmeta_tpu.utils import checkpoint as ckpt
+from gmeta_tpu.utils.metrics import MetricLogger, StepTimer, rss_gb
+
+
+@dataclasses.dataclass
+class FitResult:
+    test_acc_ref: float            # reference-style: mean accs[1], last model
+    test_acc_final: float          # clean: mean accs[-1], last model
+    best_test_acc: float           # clean: mean accs[-1], best model
+    early_stopped_ref: float       # reference-style contaminated average
+    val_max_acc: float
+    epochs_run: int
+    global_step: int
+
+
+class Trainer:
+    def __init__(self, cfg: Config, store, datasets: Dict[str, MetaDataset],
+                 labels_num: int, mesh=None, metrics: Optional[MetricLogger] = None):
+        self.cfg = cfg
+        self.store = store
+        self.datasets = datasets
+        self.mesh = mesh
+        self.metrics = metrics or MetricLogger(cfg.metrics_path)
+        self.spec = build_model_config(cfg, store.feat_dim, labels_num)
+        compute_dtype = (jnp.bfloat16 if cfg.dtype == "bfloat16"
+                         else jnp.float32)
+        self.learner = MetaLearner(
+            self.spec, labels_num,
+            update_lr=cfg.update_lr, meta_lr=cfg.meta_lr,
+            update_step=cfg.update_step, update_step_test=cfg.update_step_test,
+            first_order=cfg.first_order, compute_dtype=compute_dtype,
+            remat=cfg.remat_inner, seed=cfg.seed, mesh=mesh)
+        self.learner.set_features(store.features)
+        self.metrics.echo_line(
+            f"Total trainable tensors: {count_params(self.learner.params)}")
+
+        # early stopping state (train.py:86-87,125-127)
+        self.max_acc = 0.0
+        self.best_params = self.learner.params
+        self.start_epoch = 0
+        self.global_step = 0
+
+        if cfg.checkpoint_dir:
+            path = ckpt.latest_path(cfg.checkpoint_dir)
+            if path:
+                self._restore(path)
+
+    # ---- checkpointing -----------------------------------------------------
+
+    def _restore(self, path: str):
+        state = ckpt.restore(path)
+        self.learner.params = tuple(jnp.asarray(p) for p in state["params"])
+        self.learner.opt_state = jax.tree.map(
+            jnp.asarray, state["opt_state"],
+            is_leaf=lambda x: isinstance(x, np.ndarray))
+        self.max_acc = float(state["max_acc"])
+        self.best_params = tuple(jnp.asarray(p) for p in state["best_params"])
+        self.start_epoch = int(state["epoch"]) + 1
+        self.global_step = int(state["step"])
+        self.metrics.echo_line(
+            f"resumed from {path} at epoch {self.start_epoch}")
+
+    def _save(self, epoch: int):
+        if not self.cfg.checkpoint_dir:
+            return
+        ckpt.save(self.cfg.checkpoint_dir, self.global_step, {
+            "params": self.learner.params,
+            "opt_state": self.learner.opt_state,
+            "best_params": self.best_params,
+            "max_acc": self.max_acc,
+            "epoch": epoch,
+            "step": self.global_step,
+        })
+
+    # ---- evaluation --------------------------------------------------------
+
+    def evaluate(self, split: str, params=None) -> np.ndarray:
+        """Mean accuracy curve (update_step_test+1,) over a split's tasks,
+        evaluated in vmapped chunks (reference: one-at-a-time DataLoader,
+        train.py:115-121)."""
+        ds = self.datasets[split]
+        chunk = max(1, self.cfg.task_num)
+        curves = []
+        for batch in ds.batches(chunk, shuffle=False, drop_last=False):
+            accs = self.learner.finetune_batch(batch, params=params)
+            curves.append(np.asarray(accs))
+        return np.concatenate(curves, axis=0)
+
+    # ---- training ----------------------------------------------------------
+
+    def fit(self) -> FitResult:
+        cfg = self.cfg
+        train = self.datasets["train"]
+        t_start = time.time()
+
+        for epoch in range(self.start_epoch, cfg.epoch):
+            timer = StepTimer()
+            for step, batch in enumerate(train.batches(
+                    cfg.task_num, shuffle=True, seed=cfg.seed + epoch,
+                    num_workers=cfg.num_workers)):
+                data_t = timer.split()
+                m = self.learner.train_step(batch)
+                if step % cfg.train_result_report_steps == 0:
+                    accs = np.asarray(m["accs"])  # sync point (host fetch)
+                    compute_t = timer.split()
+                    self.metrics.echo_line(
+                        f"Epoch: {epoch + 1}  Step: {step}  training acc: "
+                        f"{accs[-1]:.3f}  time elapsed: {compute_t:.3f}  "
+                        f"data loading takes: {data_t:.3f}  Memory usage: "
+                        f"{rss_gb():.1f}")
+                    self.metrics.log(
+                        "train_step", epoch=epoch, step=self.global_step,
+                        acc_curve=accs.tolist(),
+                        meta_loss=float(m["meta_loss"]),
+                        nan_skip=int(m["nan_skip"]),
+                        data_s=data_t, compute_s=compute_t, rss_gb=rss_gb())
+                self.global_step += 1
+
+            # per-epoch validation + early stopping (train.py:115-127)
+            curves = self.evaluate("val")
+            acc_curve = curves.mean(axis=0)
+            self.metrics.echo_line(
+                f"Epoch: {epoch + 1}  Val acc: {acc_curve[-1]:.3f}")
+            self.metrics.log("val", epoch=epoch, step=self.global_step,
+                             acc_curve=acc_curve.tolist())
+            if acc_curve[-1] > self.max_acc:
+                self.max_acc = float(acc_curve[-1])
+                self.best_params = self.learner.params
+            if (epoch + 1) % cfg.checkpoint_every_epochs == 0:
+                self._save(epoch)
+
+        # final test: last model, then best model (train.py:129-146)
+        last_curves = self.evaluate("test")
+        best_curves = self.evaluate("test", params=self.best_params)
+        last_mean = last_curves.mean(axis=0)
+        best_mean = best_curves.mean(axis=0)
+        # reference-style contaminated average (train.py:130-146: the list is
+        # not reset between the two loops)
+        contaminated = np.concatenate([last_curves, best_curves], 0).mean(0)
+
+        self.metrics.echo_line(f"Test acc: {last_mean[1]:.3f}")
+        self.metrics.echo_line(f"Early Stopped Test acc: {contaminated[-1]:.3f}")
+        self.metrics.echo_line(f"Total Time: {time.time() - t_start:.1f}")
+        result = FitResult(
+            test_acc_ref=float(last_mean[1]),
+            test_acc_final=float(last_mean[-1]),
+            best_test_acc=float(best_mean[-1]),
+            early_stopped_ref=float(contaminated[-1]),
+            val_max_acc=self.max_acc,
+            epochs_run=cfg.epoch,
+            global_step=self.global_step)
+        self.metrics.log("fit_result", **dataclasses.asdict(result))
+        return result
+
+
+# ---- dataset assembly ------------------------------------------------------
+
+def build_datasets(cfg: Config):
+    """Load an on-disk dataset (reference format) and build the three
+    episodic MetaDatasets. Returns (store, datasets, labels_num)."""
+    from gmeta_tpu.data.extract import SubgraphExtractor
+    from gmeta_tpu.data.io import Dataset
+
+    data = Dataset(cfg.data_dir, cfg.task_setup, cfg.link_pred_mode,
+                   task_mode=cfg.task_mode, task_n=cfg.task_n)
+    extractor = SubgraphExtractor(data.store.graphs, h=cfg.h,
+                                  sample_nodes=cfg.sample_nodes, seed=cfg.seed)
+    datasets = {}
+    for mode in ("train", "val", "test"):
+        split = data.splits[mode]
+        datasets[mode] = MetaDataset(
+            data.store, extractor, split["main"], data.labels,
+            task_setup=cfg.task_setup, link_pred_mode=cfg.link_pred_mode,
+            n_way=cfg.n_way, k_spt=cfg.k_spt, k_qry=cfg.k_qry,
+            batchsz=cfg.batchsz if mode == "train" else cfg.eval_batchsz,
+            index_spt=split.get("spt"), index_qry=split.get("qry"),
+            seed=cfg.seed)
+    # output dim: Disjoint -> n_way; Shared -> total class count
+    # (train.py:58-61)
+    labels_num = cfg.n_way if cfg.task_setup == "Disjoint" else data.total_class
+    return data.store, datasets, labels_num
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser("gmeta_tpu.run.train")
+    ap.add_argument("--preset", choices=sorted(PRESETS), default=None)
+    for f in dataclasses.fields(Config):
+        if f.type in ("int", "float", "str"):
+            ap.add_argument(f"--{f.name}",
+                            type={"int": int, "float": float, "str": str}[f.type],
+                            default=None)
+        elif f.type == "bool":
+            ap.add_argument(f"--{f.name}", type=lambda s: s == "True",
+                            default=None)
+    ap.add_argument("--mesh_tasks", type=int, default=0,
+                    help="shard the meta-batch over this many devices")
+    args = ap.parse_args(argv)
+
+    cfg = PRESETS[args.preset] if args.preset else Config()
+    cfg = dataclasses.replace(cfg)
+    for f in dataclasses.fields(Config):
+        v = getattr(args, f.name, None)
+        if v is not None:
+            setattr(cfg, f.name, v)
+    cfg.validate()
+
+    mesh = None
+    if args.mesh_tasks:
+        from gmeta_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(task=args.mesh_tasks)
+
+    store, datasets, labels_num = build_datasets(cfg)
+    trainer = Trainer(cfg, store, datasets, labels_num, mesh=mesh)
+    result = trainer.fit()
+    print(result)
+    return result
+
+
+if __name__ == "__main__":
+    main()
