@@ -193,11 +193,20 @@ def build_datasets(cfg: Config):
     episodic MetaDatasets. Returns (store, datasets, labels_num)."""
     from gmeta_tpu.data.extract import SubgraphExtractor
     from gmeta_tpu.data.io import Dataset
+    from gmeta_tpu.data import native
 
     data = Dataset(cfg.data_dir, cfg.task_setup, cfg.link_pred_mode,
                    task_mode=cfg.task_mode, task_n=cfg.task_n)
-    extractor = SubgraphExtractor(data.store.graphs, h=cfg.h,
-                                  sample_nodes=cfg.sample_nodes, seed=cfg.seed)
+    use_native = (cfg.extractor == "native"
+                  or (cfg.extractor == "auto" and native.available()))
+    if use_native:
+        extractor = native.NativeSubgraphExtractor(
+            data.store.graphs, h=cfg.h, sample_nodes=cfg.sample_nodes,
+            seed=cfg.seed, n_threads=max(cfg.num_workers, 0))
+    else:
+        extractor = SubgraphExtractor(
+            data.store.graphs, h=cfg.h, sample_nodes=cfg.sample_nodes,
+            seed=cfg.seed)
     datasets = {}
     for mode in ("train", "val", "test"):
         split = data.splits[mode]

@@ -1,0 +1,72 @@
+"""Native C++ extraction engine vs the numpy oracle path."""
+
+import numpy as np
+import pytest
+
+from gmeta_tpu.data import native
+from gmeta_tpu.data.extract import SubgraphExtractor
+from gmeta_tpu.data.graph import CSRGraph
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native engine not built")
+
+
+def _graph(seed=0, n=300, m=2000):
+    rng = np.random.RandomState(seed)
+    src, dst = rng.randint(0, n, m), rng.randint(0, n, m)
+    return CSRGraph.from_edges(src, dst, n)
+
+
+def test_matches_numpy_oracle_uncapped():
+    g = _graph()
+    ref = SubgraphExtractor([g], h=2, sample_nodes=10_000)
+    nat = native.NativeSubgraphExtractor([g], h=2, sample_nodes=10_000)
+    for c in (0, 17, 123, 299):
+        a = ref.extract_node(0, c, f"0_{c}")
+        b = nat.extract(f"0_{c}")
+        np.testing.assert_array_equal(a.parents, b.parents)
+        np.testing.assert_array_equal(a.centers, b.centers)
+        # same edge multiset (both dst-sorted; src order within a dst row
+        # may differ)
+        np.testing.assert_array_equal(a.edge_dst, b.edge_dst)
+        got = sorted(zip(b.edge_src.tolist(), b.edge_dst.tolist()))
+        want = sorted(zip(a.edge_src.tolist(), a.edge_dst.tolist()))
+        assert got == want
+
+
+def test_link_pred_union():
+    g = _graph(seed=2)
+    ref = SubgraphExtractor([g], h=3, sample_nodes=10_000)  # h ignored
+    nat = native.NativeSubgraphExtractor([g], h=3, sample_nodes=10_000)
+    a = ref.extract_link(0, 5, 40, "0_5_40")
+    b = nat.extract("0_5_40")
+    np.testing.assert_array_equal(a.parents, b.parents)
+    np.testing.assert_array_equal(a.centers, b.centers)
+
+
+def test_cap_and_center_readd():
+    # star graph: center 0 has 200 in-neighbors
+    src = np.arange(1, 201)
+    dst = np.zeros(200, dtype=int)
+    g = CSRGraph.from_edges(src, dst, 201)
+    nat = native.NativeSubgraphExtractor([g], h=1, sample_nodes=20)
+    sub = nat.extract("0_0")
+    assert sub.num_nodes <= 21
+    assert 0 in sub.parents.tolist()
+    assert sub.parents[sub.centers[0]] == 0
+    # deterministic per seed
+    nat2 = native.NativeSubgraphExtractor([g], h=1, sample_nodes=20)
+    np.testing.assert_array_equal(sub.parents, nat2.extract("0_0").parents)
+
+
+def test_batch_threads_consistent():
+    g = _graph(seed=3, n=500, m=4000)
+    nat1 = native.NativeSubgraphExtractor([g], h=2, sample_nodes=64,
+                                          n_threads=1)
+    nat8 = native.NativeSubgraphExtractor([g], h=2, sample_nodes=64,
+                                          n_threads=8)
+    names = [f"0_{i}" for i in range(100)]
+    a = nat1.extract_many(names)
+    b = nat8.extract_many(names)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x.parents, y.parents)
