@@ -81,9 +81,12 @@ class MetaDataset:
         self.tasks: List[_RawTask] = [
             self._materialize(i) for i in range(batchsz)]
 
-        # Global static buckets for this split: P = per-subgraph node stride
-        # (bucketed max subgraph size; bounded by the sample_nodes cap),
-        # E = bucketed max total edges of a task's set.
+        # Global static buckets for this split: P = bin capacity (bucketed max
+        # subgraph size; bounded by the sample_nodes cap), E = bucketed max
+        # total edges of a task's set, B = max bins any task needs under
+        # first-fit-decreasing packing (pack.py). Aggregation cost scales with
+        # B*P^2 ~= total-nodes * P, not subgraph-count * P^2.
+        from gmeta_tpu.data.pack import num_bins
         self.P_spt = bucket_size(max(
             s.num_nodes for t in self.tasks for s in t.spt_subs), floor=64)
         self.E_spt = bucket_size(max(
@@ -92,6 +95,10 @@ class MetaDataset:
             s.num_nodes for t in self.tasks for s in t.qry_subs), floor=64)
         self.E_qry = bucket_size(max(
             sum(s.num_edges for s in t.qry_subs) for t in self.tasks))
+        self.B_spt = max(num_bins([s.num_nodes for s in t.spt_subs],
+                                  self.P_spt) for t in self.tasks)
+        self.B_qry = max(num_bins([s.num_nodes for s in t.qry_subs],
+                                  self.P_qry) for t in self.tasks)
 
     # -- task materialization (reference __getitem__ :348-408) ---------------
 
@@ -125,9 +132,9 @@ class MetaDataset:
     def pack_task(self, t: _RawTask) -> TaskBatch:
         return TaskBatch(
             spt=pack_set(t.spt_subs, t.spt_graphs, t.spt_labels, self.store,
-                         self.P_spt, self.E_spt),
+                         self.P_spt, self.E_spt, B=self.B_spt),
             qry=pack_set(t.qry_subs, t.qry_graphs, t.qry_labels, self.store,
-                         self.P_qry, self.E_qry),
+                         self.P_qry, self.E_qry, B=self.B_qry),
         )
 
     def stacked_pool(self) -> TaskBatch:

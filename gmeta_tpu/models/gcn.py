@@ -41,8 +41,8 @@ from gmeta_tpu.ops.spmm import aggregate_dense, degrees_from_dense, densify
 
 class DenseGraph(NamedTuple):
     """Per-task precomputed aggregation operands (constant over inner steps)."""
-    A: jnp.ndarray      # (S, P, P) block-diagonal adjacency
-    norm: jnp.ndarray   # (S, P, 1) clamp(deg,1)^-1/2
+    A: jnp.ndarray      # (B, P, P) block-diagonal adjacency over bins
+    norm: jnp.ndarray   # (B, P, 1) clamp(deg,1)^-1/2
 
 
 def init_params(rng: jax.Array, layer_spec: Sequence[Tuple[str, tuple]]):
@@ -75,8 +75,8 @@ def init_params(rng: jax.Array, layer_spec: Sequence[Tuple[str, tuple]]):
 
 def precompute(sg: SubgraphSet, compute_dtype=jnp.float32) -> DenseGraph:
     """Build the block-diagonal adjacency + symmetric norm once per task."""
-    S, P = sg.num_subgraphs, sg.stride
-    A = densify(sg.edge_src, sg.edge_dst, sg.edge_mask, S, P,
+    B, P = sg.node_gid.shape[-2:]
+    A = densify(sg.edge_src, sg.edge_dst, sg.edge_mask, B, P,
                 dtype=compute_dtype)
     deg = degrees_from_dense(A)
     norm = jax.lax.rsqrt(jnp.maximum(deg, 1.0))[..., None]  # clamp(min=1)^-.5
@@ -94,14 +94,15 @@ def forward(params, sg: SubgraphSet, feats: jnp.ndarray,
     (meta.py:119-120).
     """
     link_pred = layer_spec[-1][0] == "LinkPred"
-    S, P = sg.num_subgraphs, sg.stride
+    B, P = sg.node_gid.shape[-2:]
 
     if dense is None:
         dense = precompute(sg, compute_dtype)
     A, norm = dense.A, dense.norm
 
-    h = feats[sg.node_gid].astype(compute_dtype) * sg.node_mask[:, None]
-    h = h.reshape(S, P, -1)
+    # (B, P, F) gather from the global feature table — replaces the
+    # reference's host-side per-task np.vstack (meta.py:119-120).
+    h = feats[sg.node_gid].astype(compute_dtype) * sg.node_mask[..., None]
 
     idx = 0
     gcn_layers = [d for n, d in layer_spec if n == "GraphConv"]
@@ -124,7 +125,7 @@ def forward(params, sg: SubgraphSet, feats: jnp.ndarray,
         h = h * norm + b
         h = jax.nn.relu(h)
         if li == len(gcn_layers) - 1:
-            h = h.reshape(S * P, -1)
+            h = h.reshape(B * P, -1)
             if link_pred:
                 h = jnp.concatenate(
                     [h[sg.centers[:, 0]], h[sg.centers[:, 1]]], axis=1)

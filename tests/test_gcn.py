@@ -84,16 +84,17 @@ def test_dense_equals_segment_sum():
     """The block-diagonal dense aggregation must equal the edge-list
     segment-sum oracle path on packed data (incl. padding)."""
     _, _, _, sg = _packed_case(seed=5)
-    S, P = sg.num_subgraphs, sg.stride
+    B, P = sg.node_gid.shape
     rng = np.random.RandomState(0)
-    h = rng.randn(S * P, 8).astype(np.float32) * np.asarray(sg.node_mask)[:, None]
+    h = rng.randn(B * P, 8).astype(np.float32) \
+        * np.asarray(sg.node_mask).reshape(-1)[:, None]
     A = densify(jnp.asarray(sg.edge_src), jnp.asarray(sg.edge_dst),
-                jnp.asarray(sg.edge_mask), S, P)
-    got = np.asarray(aggregate_dense(A, jnp.asarray(h).reshape(S, P, 8)))
+                jnp.asarray(sg.edge_mask), B, P)
+    got = np.asarray(aggregate_dense(A, jnp.asarray(h).reshape(B, P, 8)))
     want = np.asarray(aggregate(jnp.asarray(h), jnp.asarray(sg.edge_src),
                                 jnp.asarray(sg.edge_dst),
-                                jnp.asarray(sg.edge_mask), S * P))
-    np.testing.assert_allclose(got.reshape(S * P, 8), want, rtol=1e-5, atol=1e-5)
+                                jnp.asarray(sg.edge_mask), B * P))
+    np.testing.assert_allclose(got.reshape(B * P, 8), want, rtol=1e-5, atol=1e-5)
 
 
 def test_param_counts_match_reference():
