@@ -58,10 +58,16 @@ def main() -> None:
     # remat=False: jax.checkpoint around the scanned inner step explodes
     # XLA compile time (>10 min) at these shapes and memory fits without it.
     # bf16 compute / f32 accumulate+params: the TPU idiom (SURVEY.md §5.8).
+    # track_curve=False: skip the per-inner-step query telemetry evals —
+    # meta-gradients are bitwise the subject of tests/test_meta.py's
+    # equivalence check; the trained model is identical, the reference's
+    # per-step accuracy curve is optional telemetry here (config flag
+    # track_train_curve).
     import jax.numpy as jnp
     ml = MetaLearner(spec, cfg.n_way, update_lr=0.01, meta_lr=1e-3,
                      update_step=UPDATE_STEP, update_step_test=UPDATE_STEP,
-                     remat=False, compute_dtype=jnp.bfloat16, seed=0)
+                     remat=False, compute_dtype=jnp.bfloat16, seed=0,
+                     track_curve=False)
     ml.set_features(store.features)
 
     # Device-resident task pool: one-time transfer; each step ships only the
@@ -90,7 +96,7 @@ def main() -> None:
 
     tasks_per_s = MEASURE_STEPS * TASK_NUM / dt
     print(f"# {MEASURE_STEPS} steps x {TASK_NUM} tasks in {dt:.2f}s; "
-          f"acc curve {np.round(np.asarray(m['accs']), 3)}", file=sys.stderr)
+          f"final acc {float(np.asarray(m['accs'])[-1]):.3f}", file=sys.stderr)
     print(json.dumps({
         "metric": "meta_train_tasks_per_s",
         "value": round(tasks_per_s, 2),

@@ -53,6 +53,9 @@ class Config:
     checkpoint_every_epochs: int = 1
     metrics_path: str = ""              # jsonl metrics stream; empty = stdout only
     remat_inner: bool = False           # jax.checkpoint the inner-loop step
+    track_train_curve: bool = True      # per-step query evals during training
+                                        # (telemetry only, meta.py:129-157;
+                                        # False trains identically ~2x faster)
     use_pallas: bool = False            # Pallas SpMM kernel instead of segment_sum
     extractor: str = "auto"             # 'auto' | 'native' | 'numpy' host extraction
 

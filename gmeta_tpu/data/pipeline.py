@@ -81,20 +81,22 @@ class MetaDataset:
         self.tasks: List[_RawTask] = [
             self._materialize(i) for i in range(batchsz)]
 
-        # Global static buckets for this split: P = bin capacity (bucketed max
-        # subgraph size; bounded by the sample_nodes cap), E = bucketed max
-        # total edges of a task's set, B = max bins any task needs under
-        # first-fit-decreasing packing (pack.py). Aggregation cost scales with
-        # B*P^2 ~= total-nodes * P, not subgraph-count * P^2.
-        from gmeta_tpu.data.pack import num_bins
-        self.P_spt = bucket_size(max(
-            s.num_nodes for t in self.tasks for s in t.spt_subs), floor=64)
-        self.E_spt = bucket_size(max(
-            sum(s.num_edges for s in t.spt_subs) for t in self.tasks))
-        self.P_qry = bucket_size(max(
-            s.num_nodes for t in self.tasks for s in t.qry_subs), floor=64)
-        self.E_qry = bucket_size(max(
-            sum(s.num_edges for s in t.qry_subs) for t in self.tasks))
+        # Global static buckets for this split: P = bin capacity (max subgraph
+        # size rounded up to the 128-lane MXU tile; bounded by the
+        # sample_nodes cap), E = rounded max total edges of a task's set,
+        # B = max bins any task needs under first-fit-decreasing packing
+        # (pack.py). Aggregation cost scales with B*P^2 ~= total-nodes * P,
+        # so P hugs the true max (fine 128-granularity, not power-of-two).
+        # Shapes are fixed per split, so jit compiles once per split either way.
+        from gmeta_tpu.data.pack import num_bins, round_up
+        self.P_spt = round_up(max(
+            s.num_nodes for t in self.tasks for s in t.spt_subs), 128)
+        self.E_spt = round_up(max(
+            sum(s.num_edges for s in t.spt_subs) for t in self.tasks), 2048)
+        self.P_qry = round_up(max(
+            s.num_nodes for t in self.tasks for s in t.qry_subs), 128)
+        self.E_qry = round_up(max(
+            sum(s.num_edges for s in t.qry_subs) for t in self.tasks), 2048)
         self.B_spt = max(num_bins([s.num_nodes for s in t.spt_subs],
                                   self.P_spt) for t in self.tasks)
         self.B_qry = max(num_bins([s.num_nodes for s in t.qry_subs],

@@ -44,17 +44,25 @@ class InnerAux(NamedTuple):
 def make_inner_loop(layer_spec: Sequence[Tuple[str, tuple]],
                     proto_classes: int, update_lr: float,
                     num_steps: int, first_order: bool = True,
-                    compute_dtype=jnp.float32, remat: bool = False):
+                    compute_dtype=jnp.float32, remat: bool = False,
+                    track_curve: bool = True):
     """Returns inner_loop(params, task: TaskBatch, feats) ->
     (meta_loss, InnerAux). meta_loss is the LAST-step query loss
     (meta.py:161); the accuracy curve has num_steps+1 entries with entry 0
-    the pre-update evaluation (meta.py:129-134)."""
+    the pre-update evaluation (meta.py:129-134).
+
+    track_curve=False skips the per-step query evaluations — they exist only
+    to report the reference's per-step accuracy curve (meta.py:129-141,
+    152-157); the meta-gradient depends only on the LAST step's query loss
+    (meta.py:161). The returned curve then holds the final eval in every
+    slot. ~2x faster when the query set dominates (k_qry >> k_spt)."""
 
     def inner_loop(params, task: TaskBatch, feats):
-        # Adjacency + norm are constant across inner steps: densify ONCE here
-        # (a scalar scatter), so the scanned step body is pure MXU matmuls.
-        dense_spt = precompute(task.spt, compute_dtype)
-        dense_qry = precompute(task.qry, compute_dtype)
+        # Adjacency + norm + the input-feature gather are constant across
+        # inner steps: build them ONCE here (a scalar scatter + one gather),
+        # so the scanned step body is pure MXU matmuls.
+        dense_spt = precompute(task.spt, compute_dtype, feats=feats)
+        dense_qry = precompute(task.qry, compute_dtype, feats=feats)
 
         def _spt(w):
             logits = forward(w, task.spt, feats, layer_spec,
@@ -68,30 +76,45 @@ def make_inner_loop(layer_spec: Sequence[Tuple[str, tuple]],
                              dense=dense_qry, compute_dtype=compute_dtype)
             return proto_loss_qry(logits, task.qry.labels, protos)
 
-        # Step-0 evaluation: query loss/acc with theta and theta-derived
-        # prototypes, under no_grad in the reference (meta.py:129-134).
-        _, (_, protos0) = _spt(params)
-        q0 = jax.lax.stop_gradient(_qry(params, protos0))
-
         def step(w, _):
             (loss_s, (_, protos)), g = jax.value_and_grad(
                 _spt, has_aux=True)(w)
             if first_order:
                 g = jax.tree.map(jax.lax.stop_gradient, g)
             w = jax.tree.map(lambda p, gi: p - update_lr * gi, w, g)
-            ql, qa = _qry(w, protos)
-            return w, (ql, qa, loss_s)
+            if track_curve:
+                ql, qa = _qry(w, protos)
+                return w, (ql, qa, loss_s)
+            return w, (protos, loss_s)
 
         if remat:
             step = jax.checkpoint(step)
-        _, (qls, qas, sls) = jax.lax.scan(step, params, None, length=num_steps)
 
-        meta_loss = qls[-1]
-        aux = InnerAux(
-            qry_accs=jnp.concatenate([q0[1][None], qas]),
-            qry_losses=jnp.concatenate([q0[0][None], qls]),
-            spt_losses=sls,
-        )
+        if track_curve:
+            # Step-0 evaluation: query loss/acc with theta and theta-derived
+            # prototypes, under no_grad in the reference (meta.py:129-134).
+            _, (_, protos0) = _spt(params)
+            q0 = jax.lax.stop_gradient(_qry(params, protos0))
+            _, (qls, qas, sls) = jax.lax.scan(
+                step, params, None, length=num_steps)
+            meta_loss = qls[-1]
+            aux = InnerAux(
+                qry_accs=jnp.concatenate([q0[1][None], qas]),
+                qry_losses=jnp.concatenate([q0[0][None], qls]),
+                spt_losses=sls,
+            )
+            return meta_loss, aux
+
+        # Fast path: one query forward total, with the final fast weights and
+        # the LAST step's support prototypes (the reference's ordering:
+        # prototypes refreshed before the weight update, meta.py:143-151).
+        w, (protos_all, sls) = jax.lax.scan(
+            step, params, None, length=num_steps)
+        protos = jax.tree.map(lambda p: p[-1], protos_all)
+        meta_loss, q_acc = _qry(w, protos)
+        ones = jnp.ones(num_steps + 1, dtype=jnp.float32)
+        aux = InnerAux(qry_accs=q_acc * ones, qry_losses=meta_loss * ones,
+                       spt_losses=sls)
         return meta_loss, aux
 
     return inner_loop
@@ -110,7 +133,7 @@ class MetaLearner:
                  update_step: int, update_step_test: int,
                  first_order: bool = True, compute_dtype=jnp.float32,
                  remat: bool = False, seed: int = 222,
-                 mesh=None):
+                 mesh=None, track_curve: bool = True):
         self.layer_spec = layer_spec
         self.params = init_params(jax.random.PRNGKey(seed), layer_spec)
         self.tx = optax.adam(meta_lr)  # torch.optim.Adam defaults (meta.py:97)
@@ -119,7 +142,8 @@ class MetaLearner:
 
         train_inner = make_inner_loop(
             layer_spec, proto_classes, update_lr, update_step,
-            first_order=first_order, compute_dtype=compute_dtype, remat=remat)
+            first_order=first_order, compute_dtype=compute_dtype, remat=remat,
+            track_curve=track_curve)
         test_inner = make_inner_loop(
             layer_spec, proto_classes, update_lr, update_step_test,
             first_order=first_order, compute_dtype=compute_dtype, remat=remat)

@@ -43,6 +43,7 @@ class DenseGraph(NamedTuple):
     """Per-task precomputed aggregation operands (constant over inner steps)."""
     A: jnp.ndarray      # (B, P, P) block-diagonal adjacency over bins
     norm: jnp.ndarray   # (B, P, 1) clamp(deg,1)^-1/2
+    h0: jnp.ndarray = None  # (B, P, F) gathered+masked input features, or None
 
 
 def init_params(rng: jax.Array, layer_spec: Sequence[Tuple[str, tuple]]):
@@ -73,14 +74,21 @@ def init_params(rng: jax.Array, layer_spec: Sequence[Tuple[str, tuple]]):
     return tuple(params)
 
 
-def precompute(sg: SubgraphSet, compute_dtype=jnp.float32) -> DenseGraph:
-    """Build the block-diagonal adjacency + symmetric norm once per task."""
+def precompute(sg: SubgraphSet, compute_dtype=jnp.float32,
+               feats: jnp.ndarray = None) -> DenseGraph:
+    """Build the block-diagonal adjacency + symmetric norm — and, when
+    `feats` is given, the gathered input features — once per task. All three
+    are constant across MAML inner steps, so neither scatter nor gather ever
+    runs inside the scanned inner step."""
     B, P = sg.node_gid.shape[-2:]
     A = densify(sg.edge_src, sg.edge_dst, sg.edge_mask, B, P,
                 dtype=compute_dtype)
     deg = degrees_from_dense(A)
     norm = jax.lax.rsqrt(jnp.maximum(deg, 1.0))[..., None]  # clamp(min=1)^-.5
-    return DenseGraph(A=A, norm=norm.astype(compute_dtype))
+    h0 = None
+    if feats is not None:
+        h0 = feats[sg.node_gid].astype(compute_dtype) * sg.node_mask[..., None]
+    return DenseGraph(A=A, norm=norm.astype(compute_dtype), h0=h0)
 
 
 def forward(params, sg: SubgraphSet, feats: jnp.ndarray,
@@ -101,8 +109,12 @@ def forward(params, sg: SubgraphSet, feats: jnp.ndarray,
     A, norm = dense.A, dense.norm
 
     # (B, P, F) gather from the global feature table — replaces the
-    # reference's host-side per-task np.vstack (meta.py:119-120).
-    h = feats[sg.node_gid].astype(compute_dtype) * sg.node_mask[..., None]
+    # reference's host-side per-task np.vstack (meta.py:119-120). Reuses the
+    # precomputed gather when available (constant across inner steps).
+    if dense.h0 is not None:
+        h = dense.h0
+    else:
+        h = feats[sg.node_gid].astype(compute_dtype) * sg.node_mask[..., None]
 
     idx = 0
     gcn_layers = [d for n, d in layer_spec if n == "GraphConv"]

@@ -62,7 +62,8 @@ class Trainer:
             update_lr=cfg.update_lr, meta_lr=cfg.meta_lr,
             update_step=cfg.update_step, update_step_test=cfg.update_step_test,
             first_order=cfg.first_order, compute_dtype=compute_dtype,
-            remat=cfg.remat_inner, seed=cfg.seed, mesh=mesh)
+            remat=cfg.remat_inner, seed=cfg.seed, mesh=mesh,
+            track_curve=cfg.track_train_curve)
         self.learner.set_features(store.features)
         self.metrics.echo_line(
             f"Total trainable tensors: {count_params(self.learner.params)}")

@@ -163,3 +163,24 @@ def test_nan_guard_skips_update():
     assert int(m["nan_skip"]) == 1
     for p0, p1 in zip(before, ml.params):
         np.testing.assert_array_equal(p0, np.asarray(p1))
+
+
+def test_fast_inner_loop_equivalent_meta_gradients():
+    """track_curve=False must produce the same meta-loss and meta-gradients
+    as the full-curve path — the per-step query evals are pure telemetry
+    (meta.py:129-141,152-157); only the LAST step's query loss backprops
+    (meta.py:161)."""
+    _, cfg, spec, _, task, feats = _tiny_task()
+    params = init_params(jax.random.PRNGKey(4), spec)
+
+    def meta_loss(p, track):
+        inner = make_inner_loop(spec, cfg.n_way, 0.05, 4, first_order=True,
+                                track_curve=track)
+        return inner(p, task, feats)[0]
+
+    l_full, g_full = jax.value_and_grad(lambda p: meta_loss(p, True))(params)
+    l_fast, g_fast = jax.value_and_grad(lambda p: meta_loss(p, False))(params)
+    np.testing.assert_allclose(float(l_full), float(l_fast), rtol=1e-6)
+    for a, b in zip(g_full, g_fast):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
