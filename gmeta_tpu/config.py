@@ -56,8 +56,12 @@ class Config:
     track_train_curve: bool = True      # per-step query evals during training
                                         # (telemetry only, meta.py:129-157;
                                         # False trains identically ~2x faster)
-    use_pallas: bool = False            # Pallas SpMM kernel instead of segment_sum
     extractor: str = "auto"             # 'auto' | 'native' | 'numpy' host extraction
+    cap_strategy: str = "uniform"       # subgraph node-cap: 'uniform' (reference
+                                        # parity, subgraph_data_processing.py:312-314)
+                                        # | 'degree' (centrality-scored keep-top-k)
+    profile_dir: str = ""               # jax.profiler trace dir; empty = off
+    profile_steps: int = 5              # steps to trace (starting after compile)
 
     @property
     def labels_num(self) -> int:
@@ -67,6 +71,7 @@ class Config:
         assert self.task_setup in ("Disjoint", "Shared"), self.task_setup
         assert self.h in (1, 2, 3), "h must be 1, 2 or 3 (reference supports only these)"
         assert self.k_spt >= 1 and self.k_qry >= 1 and self.n_way >= 2
+        assert self.cap_strategy in ("uniform", "degree"), self.cap_strategy
         assert self.update_step >= 1 and self.update_step_test >= 1
         if self.link_pred_mode:
             assert self.task_setup == "Shared", "link prediction uses the Shared setup"

@@ -7,6 +7,11 @@ of per-node Python loops over a DGL graph:
 - frontier expansion over *in*-neighbors for h in {1,2,3} (:300-311)
 - if the neighborhood exceeds `sample_nodes`: uniform downsample without
   replacement, then force-re-add the center(s) (:312-314,337-339)
+- `cap_strategy="degree"` replaces the uniform downsample with degree-
+  centrality scoring: keep the `sample_nodes` highest in-degree nodes
+  (deterministic; ties break by node id). The reference only ever samples
+  uniformly — this is the rebuild's centrality-scored extraction mode
+  (BASELINE.json north star), off by default for reference parity.
 - induced subgraph with nodes relabeled 0..n-1; we fix sorted order (the
   node order is permutation-irrelevant to the GCN math; np.unique already
   sorts in the capped path :314)
@@ -48,10 +53,12 @@ class Subgraph:
 
 class SubgraphExtractor:
     def __init__(self, graphs: Sequence[CSRGraph], h: int, sample_nodes: int,
-                 seed: int = 222):
+                 seed: int = 222, cap_strategy: str = "uniform"):
+        assert cap_strategy in ("uniform", "degree"), cap_strategy
         self.graphs = list(graphs)
         self.h = h
         self.sample_nodes = sample_nodes
+        self.cap_strategy = cap_strategy
         self.rng = np.random.RandomState(seed)
         self.cache: Dict[str, Subgraph] = {}
 
@@ -72,9 +79,16 @@ class SubgraphExtractor:
             nodes = np.concatenate([n2, n3, f_hop, [i]])
         return np.unique(nodes)
 
-    def _cap(self, nodes: np.ndarray, centers) -> np.ndarray:
+    def _cap(self, G: CSRGraph, nodes: np.ndarray, centers) -> np.ndarray:
         if len(nodes) > self.sample_nodes:
-            nodes = self.rng.choice(nodes, self.sample_nodes, replace=False)
+            if self.cap_strategy == "degree":
+                # keep top-sample_nodes by in-degree, ties by node id
+                deg = G.in_degrees(nodes)
+                order = np.lexsort((nodes, -deg))
+                nodes = nodes[order[:self.sample_nodes]]
+            else:
+                nodes = self.rng.choice(nodes, self.sample_nodes,
+                                        replace=False)
             nodes = np.unique(np.append(nodes, centers))
         return nodes
 
@@ -84,7 +98,7 @@ class SubgraphExtractor:
         if name in self.cache:
             return self.cache[name]
         G = self.graphs[g_idx]
-        nodes = self._cap(self._neighborhood(G, i), [i])
+        nodes = self._cap(G, self._neighborhood(G, i), [i])
         sub = self._induce(G, nodes, [i])
         self.cache[name] = sub
         return sub
@@ -102,7 +116,7 @@ class SubgraphExtractor:
             return np.unique(np.concatenate([n2, f_hop, [c]]))
 
         nodes = np.union1d(two_hop(i), two_hop(j))
-        nodes = self._cap(nodes, [i, j])
+        nodes = self._cap(G, nodes, [i, j])
         sub = self._induce(G, nodes, [i, j])
         self.cache[name] = sub
         return sub

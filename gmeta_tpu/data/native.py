@@ -35,7 +35,8 @@ def _load() -> Optional[ctypes.CDLL]:
                                  ctypes.c_int64, ctypes.c_int64]
     lib.gx_extract_batch.argtypes = [
         ctypes.c_void_p, _i64p, ctypes.c_int64, ctypes.c_int32,
-        ctypes.c_int64, ctypes.c_uint64, ctypes.c_int32, _i64p]
+        ctypes.c_int64, ctypes.c_uint64, ctypes.c_int32, ctypes.c_int32,
+        _i64p]
     lib.gx_result_sizes.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                     _i64p, _i64p, _i64p]
     lib.gx_result_fetch.argtypes = [ctypes.c_void_p, ctypes.c_int64,
@@ -75,7 +76,8 @@ class NativeEngine:
             self._h = None
 
     def extract_batch(self, items: np.ndarray, hops: int, sample_nodes: int,
-                      seed: int = 222) -> List[Subgraph]:
+                      seed: int = 222,
+                      cap_strategy: str = "uniform") -> List[Subgraph]:
         """items: (N, 3) int64 rows (graph, center1, center2 or -1)."""
         items = np.ascontiguousarray(items, dtype=np.int64)
         n = len(items)
@@ -83,7 +85,9 @@ class NativeEngine:
         self._lib.gx_extract_batch(
             self._h, items.ctypes.data_as(_i64p), ctypes.c_int64(n),
             ctypes.c_int32(hops), ctypes.c_int64(sample_nodes),
-            ctypes.c_uint64(seed), ctypes.c_int32(self.n_threads),
+            ctypes.c_uint64(seed),
+            ctypes.c_int32(1 if cap_strategy == "degree" else 0),
+            ctypes.c_int32(self.n_threads),
             ids.ctypes.data_as(_i64p))
         out = []
         nn = np.zeros(1, np.int64)
@@ -113,11 +117,14 @@ class NativeSubgraphExtractor:
     """API-compatible with extract.SubgraphExtractor, C++-backed, memoized."""
 
     def __init__(self, graphs: Sequence[CSRGraph], h: int, sample_nodes: int,
-                 seed: int = 222, n_threads: int = 0):
+                 seed: int = 222, n_threads: int = 0,
+                 cap_strategy: str = "uniform"):
+        assert cap_strategy in ("uniform", "degree"), cap_strategy
         self.engine = NativeEngine(graphs, n_threads=n_threads)
         self.h = h
         self.sample_nodes = sample_nodes
         self.seed = seed
+        self.cap_strategy = cap_strategy
         self.cache = {}
 
     def extract(self, name: str) -> Subgraph:
@@ -137,7 +144,8 @@ class NativeSubgraphExtractor:
                 parts = [int(p) for p in n.split("_")]
                 items[k, :len(parts)] = parts
             subs = self.engine.extract_batch(items, self.h, self.sample_nodes,
-                                             seed=self.seed)
+                                             seed=self.seed,
+                                             cap_strategy=self.cap_strategy)
             for n, s in zip(missing, subs):
                 self.cache[n] = s
         return [self.cache[n] for n in names]

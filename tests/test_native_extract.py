@@ -70,3 +70,19 @@ def test_batch_threads_consistent():
     b = nat8.extract_many(names)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(x.parents, y.parents)
+
+
+def test_degree_cap_matches_numpy_exactly():
+    """cap_strategy='degree' is deterministic (top-k by in-degree, ties by
+    node id), so native and numpy must agree bitwise — unlike the uniform
+    cap, whose RNGs differ by design."""
+    g = _graph(seed=4, n=400, m=6000)
+    ref = SubgraphExtractor([g], h=2, sample_nodes=32, cap_strategy="degree")
+    nat = native.NativeSubgraphExtractor([g], h=2, sample_nodes=32,
+                                         cap_strategy="degree")
+    for c in (0, 3, 77, 399):
+        a = ref.extract_node(0, c, f"0_{c}")
+        b = nat.extract(f"0_{c}")
+        np.testing.assert_array_equal(a.parents, b.parents)
+        np.testing.assert_array_equal(a.centers, b.centers)
+        np.testing.assert_array_equal(a.edge_dst, b.edge_dst)
