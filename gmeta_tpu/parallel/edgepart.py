@@ -13,14 +13,26 @@ rebuild's scale dimension (SURVEY.md §5.7, §2.3 "SP analog"): graphs whose
 - one all_gather of the (Vb, H) feature blocks per GCN layer — the halo
   exchange, riding ICI — followed by purely local gather + segment-sum.
 
-This is the simple all-gather variant (communication V*H per layer); a
-boundary-only halo is a later optimization. Semantics match
-models/gcn.py's GraphConv math exactly (clamp-norm, no self-loops).
+Two halo variants:
+
+- `halo='all_gather'`: one all_gather of the (Vb, H) feature blocks per
+  GCN layer — simple, communication V*H per layer regardless of structure.
+- `halo='boundary'`: each shard sends only the rows other shards' edges
+  actually reference (a static per-pair index plan built on the host), via
+  one all_to_all per layer. Communication = sum of boundary-set sizes * H;
+  on locality-partitioned graphs this is the ICI-bandwidth win that the
+  ≥80% multi-host scaling-efficiency target rides on (BASELINE.json). On
+  adversarially skewed graphs the plan's padded pair-width M approaches Vb
+  and all_gather is the better choice — `HaloPlan.comm_rows` exposes the
+  tradeoff so callers can pick.
+
+Semantics match models/gcn.py's GraphConv math exactly (clamp-norm, no
+self-loops).
 """
 
 from __future__ import annotations
 
-from typing import NamedTuple, Sequence, Tuple
+from typing import List, NamedTuple, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -74,22 +86,86 @@ def pad_features(x: np.ndarray, sg: ShardedGraph, n_shards: int) -> np.ndarray:
     return out
 
 
-def make_full_graph_forward(layer_dims: Sequence[Tuple[int, int]],
-                            mesh: Mesh, n_shards: int, Vb: int):
-    """Returns jitted forward(params, h, shard_arrays) -> (D*Vb, H_out)
-    node embeddings, h sharded over 'edge', params replicated. Math is
-    GraphConv per models/gcn.py (clamp-norm before/after, ReLU)."""
+class HaloPlan(NamedTuple):
+    """Static boundary-exchange plan for `halo='boundary'`.
 
-    def local_layer(h_full, e_src, e_dst, e_mask, norm_local, w, b):
-        # h_full: (D*Vb, Hin) gathered; aggregate into owned rows only.
-        msgs = h_full[e_src] * e_mask[:, None]
+    send_idx[p, d]: the (padded) LOCAL row indices shard p ships to shard d
+    each layer; halo_src[d] remaps shard d's edge sources into the flattened
+    (D * M, H) receive table (slot p*M+j = row j received from shard p).
+    """
+    send_idx: np.ndarray   # (D, D, M) int32 local rows p -> d (pad: 0)
+    send_mask: np.ndarray  # (D, D, M) float32
+    halo_src: np.ndarray   # (D, Eb) int32 into the receive table (pad: 0)
+    M: int                 # padded per-pair boundary width
+
+    @property
+    def comm_rows(self) -> int:
+        """Real rows shipped per layer (vs D * V for all_gather)."""
+        return int(self.send_mask.sum())
+
+
+def build_halo_plan(sg: ShardedGraph, n_shards: int,
+                    pad_to: int = 8) -> HaloPlan:
+    """Host-side: per (owner p, consumer d) boundary index sets + edge-source
+    remap. Self-pairs (p == d) route through the same table so the kernel has
+    one uniform gather."""
+    D, Vb = n_shards, sg.Vb
+    needs: List[List[np.ndarray]] = [[None] * D for _ in range(D)]
+    for d in range(D):
+        k = int(sg.edge_mask[d].sum())
+        srcs = sg.edge_src[d, :k].astype(np.int64)
+        owners = srcs // Vb
+        for p in range(D):
+            needs[p][d] = np.unique(srcs[owners == p]) - p * Vb
+    M = max((len(needs[p][d]) for p in range(D) for d in range(D)),
+            default=0)
+    M = max(((M + pad_to - 1) // pad_to) * pad_to, pad_to)
+
+    send_idx = np.zeros((D, D, M), np.int32)
+    send_mask = np.zeros((D, D, M), np.float32)
+    for p in range(D):
+        for d in range(D):
+            n = len(needs[p][d])
+            send_idx[p, d, :n] = needs[p][d]
+            send_mask[p, d, :n] = 1.0
+
+    halo_src = np.zeros((D, sg.edge_src.shape[1]), np.int32)
+    for d in range(D):
+        k = int(sg.edge_mask[d].sum())
+        srcs = sg.edge_src[d, :k].astype(np.int64)
+        owners = srcs // Vb
+        pos = np.empty(k, np.int64)
+        for p in range(D):
+            sel = owners == p
+            # position of each needed row within p's (sorted-unique) send list
+            pos[sel] = p * M + np.searchsorted(needs[p][d], srcs[sel] - p * Vb)
+        halo_src[d, :k] = pos
+    return HaloPlan(send_idx=send_idx, send_mask=send_mask,
+                    halo_src=halo_src, M=M)
+
+
+def make_full_graph_forward(layer_dims: Sequence[Tuple[int, int]],
+                            mesh: Mesh, n_shards: int, Vb: int,
+                            halo: str = "all_gather", M: int = 0):
+    """Returns jitted forward(params, h, *shard_arrays) -> (D*Vb, H_out)
+    node embeddings, h sharded over 'edge', params replicated. Math is
+    GraphConv per models/gcn.py (clamp-norm before/after, ReLU).
+
+    halo='all_gather': shard arrays are (e_src GLOBAL, e_dst, e_mask, deg).
+    halo='boundary':   shard arrays are (halo_src, e_dst, e_mask, deg,
+    send_idx, send_mask) from a HaloPlan; one all_to_all of (D, M, H)
+    boundary rows per layer instead of gathering all V rows."""
+    assert halo in ("all_gather", "boundary"), halo
+
+    def aggregate_into_owned(table, e_src, e_dst, e_mask, norm, w, b):
+        msgs = table[e_src] * e_mask[:, None]
         agg = jax.ops.segment_sum(msgs, e_dst, num_segments=Vb,
                                   indices_are_sorted=True)
         out = jnp.dot(agg, w, preferred_element_type=jnp.float32)
-        out = out * norm_local + b
+        out = out * norm + b
         return jax.nn.relu(out)
 
-    def shard_fn(params, h_block, e_src, e_dst, e_mask, deg):
+    def shard_fn_all_gather(params, h_block, e_src, e_dst, e_mask, deg):
         # h_block: (Vb, H) this shard's rows; e_*: (Eb,) this shard's edges
         norm = jax.lax.rsqrt(jnp.maximum(deg, 1.0))[:, None]
         h = h_block
@@ -98,24 +174,45 @@ def make_full_graph_forward(layer_dims: Sequence[Tuple[int, int]],
             h = h * norm
             # halo exchange: gather all shards' current blocks over ICI
             h_full = jax.lax.all_gather(h, "edge", tiled=True)
-            h = local_layer(h_full, e_src, e_dst, e_mask, norm, w, b)
+            h = aggregate_into_owned(h_full, e_src, e_dst, e_mask, norm, w, b)
+        return h
+
+    def shard_fn_boundary(params, h_block, halo_src, e_dst, e_mask, deg,
+                          send_idx, send_mask):
+        # send_idx/send_mask: (D, M) MY rows for each consumer shard;
+        # halo_src: (Eb,) into the (D*M,) receive table.
+        norm = jax.lax.rsqrt(jnp.maximum(deg, 1.0))[:, None]
+        h = h_block
+        for i, _ in enumerate(layer_dims):
+            w, b = params[2 * i], params[2 * i + 1]
+            h = h * norm
+            send = h[send_idx] * send_mask[..., None]        # (D, M, H)
+            recv = jax.lax.all_to_all(send, "edge", split_axis=0,
+                                      concat_axis=0, tiled=False)
+            table = recv.reshape(n_shards * M, -1)
+            h = aggregate_into_owned(table, halo_src, e_dst, e_mask,
+                                     norm, w, b)
         return h
 
     from jax import shard_map
-    fn = shard_map(
-        shard_fn, mesh=mesh,
-        in_specs=(P(), P("edge"), P("edge"), P("edge"), P("edge"), P("edge")),
-        out_specs=P("edge"))
+    if halo == "all_gather":
+        fn = shard_map(
+            shard_fn_all_gather, mesh=mesh,
+            in_specs=(P(),) + (P("edge"),) * 5, out_specs=P("edge"))
+    else:
+        assert M > 0, "boundary halo needs the HaloPlan's M"
+        fn = shard_map(
+            shard_fn_boundary, mesh=mesh,
+            in_specs=(P(),) + (P("edge"),) * 7, out_specs=P("edge"))
     return jax.jit(fn)
 
 
 def full_graph_embed(params, feats: np.ndarray, g: CSRGraph, mesh: Mesh,
-                     layer_dims) -> jnp.ndarray:
+                     layer_dims, halo: str = "all_gather") -> jnp.ndarray:
     """Convenience wrapper: shard, pad, run, unpad. Returns (V, H_out)."""
     D = mesh.shape["edge"]
     sg = shard_graph(g, D)
     h0 = pad_features(np.asarray(feats, np.float32), sg, D)
-    fwd = make_full_graph_forward(layer_dims, mesh, D, sg.Vb)
     shd = NamedSharding(mesh, P("edge"))
     rep = NamedSharding(mesh, P())
 
@@ -124,7 +221,16 @@ def full_graph_embed(params, feats: np.ndarray, g: CSRGraph, mesh: Mesh,
                               shd)
 
     params = jax.device_put(tuple(jnp.asarray(p) for p in params), rep)
-    out = fwd(params, jax.device_put(jnp.asarray(h0), shd),
-              put(sg.edge_src), put(sg.edge_dst), put(sg.edge_mask),
-              put(sg.deg))
+    h0 = jax.device_put(jnp.asarray(h0), shd)
+    if halo == "boundary":
+        plan = build_halo_plan(sg, D)
+        fwd = make_full_graph_forward(layer_dims, mesh, D, sg.Vb,
+                                      halo="boundary", M=plan.M)
+        out = fwd(params, h0, put(plan.halo_src), put(sg.edge_dst),
+                  put(sg.edge_mask), put(sg.deg),
+                  put(plan.send_idx), put(plan.send_mask))
+    else:
+        fwd = make_full_graph_forward(layer_dims, mesh, D, sg.Vb)
+        out = fwd(params, h0, put(sg.edge_src), put(sg.edge_dst),
+                  put(sg.edge_mask), put(sg.deg))
     return out[:sg.num_nodes]

@@ -72,3 +72,28 @@ def test_shard_count_invariance():
         mesh = make_mesh(task=1, edge=d)
         out[d] = np.asarray(full_graph_embed(params, feats, g, mesh, dims))
     np.testing.assert_allclose(out[2], out[8], rtol=1e-5, atol=1e-6)
+
+
+def test_boundary_halo_matches_all_gather():
+    """halo='boundary' (all_to_all of static boundary sets) must equal the
+    all_gather variant and the oracle, and ship strictly fewer rows."""
+    from gmeta_tpu.parallel.edgepart import build_halo_plan
+    src, dst, g = _graph(seed=4, n=400, m=2500)
+    rng = np.random.RandomState(2)
+    F, H1, H2 = 12, 16, 8
+    feats = rng.randn(g.num_nodes, F).astype(np.float32)
+    dims = [(F, H1), (H1, H2)]
+    params = []
+    for fi, fo in dims:
+        params += [rng.randn(fi, fo).astype(np.float32) * 0.3,
+                   rng.randn(fo).astype(np.float32) * 0.1]
+    mesh = make_mesh(task=1, edge=4)
+    a = np.asarray(full_graph_embed(params, feats, g, mesh, dims,
+                                    halo="all_gather"))
+    b = np.asarray(full_graph_embed(params, feats, g, mesh, dims,
+                                    halo="boundary"))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+    # the plan's real communicated rows never exceed what all_gather ships
+    sg = shard_graph(g, 4)
+    plan = build_halo_plan(sg, 4)
+    assert plan.comm_rows <= 4 * 4 * sg.Vb
