@@ -151,6 +151,14 @@ class MetaDataset:
     def __len__(self) -> int:
         return len(self.tasks)
 
+    @property
+    def mean_edges_per_task(self) -> float:
+        """Mean REAL (unpadded) spt+qry edges per task — the basis of the
+        edges/s throughput metric (edges ingested per second of training)."""
+        tot = sum(sum(s.num_edges for s in t.spt_subs)
+                  + sum(s.num_edges for s in t.qry_subs) for t in self.tasks)
+        return tot / max(len(self.tasks), 1)
+
     def batches(self, task_num: int, shuffle: bool = True,
                 drop_last: bool = True,
                 num_workers: int = 0,

@@ -132,6 +132,9 @@ class Trainer:
                      if cfg.profile_dir else -1)
         prof_active = False
 
+        mean_edges = train.mean_edges_per_task
+        win_t, win_steps = time.time(), 0
+
         for epoch in range(self.start_epoch, cfg.epoch):
             timer = StepTimer()
             for step, batch in enumerate(train.batches(
@@ -149,9 +152,16 @@ class Trainer:
                     prof_active = False
                     self.metrics.echo_line(
                         f"profiler trace written to {cfg.profile_dir}")
+                win_steps += 1
                 if step % cfg.train_result_report_steps == 0:
                     accs = np.asarray(m["accs"])  # sync point (host fetch)
                     compute_t = timer.split()
+                    # window throughput: tasks (and their real edges) per
+                    # wall-second since the previous report (north-star
+                    # metrics, SURVEY.md §5.5)
+                    dt = max(time.time() - win_t, 1e-9)
+                    tasks_per_s = win_steps * cfg.task_num / dt
+                    win_t, win_steps = time.time(), 0
                     self.metrics.echo_line(
                         f"Epoch: {epoch + 1}  Step: {step}  training acc: "
                         f"{accs[-1]:.3f}  time elapsed: {compute_t:.3f}  "
@@ -162,6 +172,8 @@ class Trainer:
                         acc_curve=accs.tolist(),
                         meta_loss=float(m["meta_loss"]),
                         nan_skip=int(m["nan_skip"]),
+                        tasks_per_s=round(tasks_per_s, 2),
+                        edges_per_s=round(tasks_per_s * mean_edges, 1),
                         data_s=data_t, compute_s=compute_t, rss_gb=rss_gb())
                 self.global_step += 1
 
