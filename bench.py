@@ -32,7 +32,7 @@ TASK_POOL = 48
 TASK_NUM = 8          # tasks per jitted meta-step (vmap width)
 UPDATE_STEP = 10      # arxiv recipe (README.md:69-80)
 WARMUP_STEPS = 2
-MEASURE_STEPS = 8
+MEASURE_STEPS = 32    # scanned on device: one dispatch for all of them
 
 
 def main() -> None:
@@ -77,26 +77,30 @@ def main() -> None:
     idx_stream = [rng.choice(TASK_POOL, TASK_NUM, replace=False)
                   for _ in range(WARMUP_STEPS + MEASURE_STEPS)]
 
+    # Multi-meta-step scan: MEASURE_STEPS meta-steps run as ONE dispatch
+    # (lax.scan over the index matrix, params carried on device) — dispatch
+    # latency through the tunnel is amortized to zero, which is also how a
+    # production epoch loop would run (train_steps_from_pool).
+    meas = np.stack(idx_stream[WARMUP_STEPS:])
+
+    # Warmup MUST use the same (K, task_num) shape as the measured call —
+    # a different K compiles a different scan program.
     # NOTE: block_until_ready is a no-op on the tunneled axon backend; a
     # host value fetch is the only reliable synchronization point.
     t0 = time.time()
-    m = ml.train_step_from_pool(idx_stream[0])
-    float(m["meta_loss"])
-    print(f"# compile+first step: {time.time()-t0:.1f}s", file=sys.stderr)
-
-    for i in range(WARMUP_STEPS):
-        m = ml.train_step_from_pool(idx_stream[i])
-    float(m["meta_loss"])
+    m = ml.train_steps_from_pool(meas)
+    float(np.asarray(m["meta_loss"])[-1])
+    print(f"# compile+warmup: {time.time()-t0:.1f}s", file=sys.stderr)
 
     t0 = time.time()
-    for i in range(MEASURE_STEPS):
-        m = ml.train_step_from_pool(idx_stream[WARMUP_STEPS + i])
-    float(m["meta_loss"])  # chain: step i+1 depends on step i's params
+    m = ml.train_steps_from_pool(meas)
+    float(np.asarray(m["meta_loss"])[-1])  # sync
     dt = time.time() - t0
 
     tasks_per_s = MEASURE_STEPS * TASK_NUM / dt
     print(f"# {MEASURE_STEPS} steps x {TASK_NUM} tasks in {dt:.2f}s; "
-          f"final acc {float(np.asarray(m['accs'])[-1]):.3f}", file=sys.stderr)
+          f"final acc {float(np.asarray(m['accs'])[-1, -1]):.3f}",
+          file=sys.stderr)
     print(json.dumps({
         "metric": "meta_train_tasks_per_s",
         "value": round(tasks_per_s, 2),

@@ -48,6 +48,11 @@ class Config:
     train_result_report_steps: int = 30
     num_workers: int = 0                # host pipeline prefetch threads
     task_microbatch: int = 0            # 0 = all tasks at once; else lax.map chunk size
+    device_task_pool: bool = False      # place the train task pool in HBM once
+                                        # and scan train_result_report_steps
+                                        # meta-steps per dispatch (amortizes
+                                        # host->device latency; needs the
+                                        # packed pool to fit HBM)
     mesh_shape: Optional[tuple] = None  # e.g. (8,) for 8-way task-DP; None = single device
     checkpoint_dir: str = ""            # empty = no checkpointing
     checkpoint_every_epochs: int = 1

@@ -193,6 +193,19 @@ class MetaLearner:
             batch = jax.tree.map(lambda x: x[idxs], pool)
             return train_step(params, opt_state, batch, feats)
 
+        def train_many_pool(params, opt_state, pool, idx_mat, feats):
+            # K meta-steps per dispatch: lax.scan over a (K, task_num) index
+            # matrix, params/opt-state carried on device. Amortizes dispatch
+            # latency (the tunnel round-trip dominates small steps) to ~0.
+            def body(carry, idxs):
+                p, o = carry
+                batch = jax.tree.map(lambda x: x[idxs], pool)
+                p, o, metrics = train_step(p, o, batch, feats)
+                return (p, o), metrics
+            (params, opt_state), ms = jax.lax.scan(
+                body, (params, opt_state), idx_mat)
+            return params, opt_state, ms
+
         if mesh is not None:
             from gmeta_tpu.parallel.dp import shard_train_step
             self._train_step = shard_train_step(train_step, mesh)
@@ -201,6 +214,7 @@ class MetaLearner:
             self._train_step = jax.jit(train_step)
             self._finetune = jax.jit(finetune)
         self._train_step_pool = jax.jit(train_step_pool)
+        self._train_many_pool = jax.jit(train_many_pool)
         self._finetune_batch = jax.jit(finetune_batch)
 
         self._feats = None
@@ -222,6 +236,14 @@ class MetaLearner:
         idxs = jnp.asarray(idxs, dtype=jnp.int32)
         self.params, self.opt_state, metrics = self._train_step_pool(
             self.params, self.opt_state, self._pool, idxs, self._feats)
+        return metrics
+
+    def train_steps_from_pool(self, idx_mat):
+        """Run idx_mat.shape[0] meta-steps in ONE dispatch (scan on device).
+        Returns stacked per-step metrics (leading axis = steps)."""
+        idx_mat = jnp.asarray(idx_mat, dtype=jnp.int32)
+        self.params, self.opt_state, metrics = self._train_many_pool(
+            self.params, self.opt_state, self._pool, idx_mat, self._feats)
         return metrics
 
     def train_step(self, batch: TaskBatch):

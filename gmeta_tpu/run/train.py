@@ -135,6 +135,9 @@ class Trainer:
         mean_edges = train.mean_edges_per_task
         win_t, win_steps = time.time(), 0
 
+        if cfg.device_task_pool:
+            return self._fit_device_pool(t_start, mean_edges)
+
         for epoch in range(self.start_epoch, cfg.epoch):
             timer = StepTimer()
             for step, batch in enumerate(train.batches(
@@ -193,7 +196,63 @@ class Trainer:
         if prof_active:  # fewer total steps than the requested trace window
             jax.profiler.stop_trace()
 
+        return self._final_test(t_start)
+
+    def _fit_device_pool(self, t_start: float, mean_edges: float) -> "FitResult":
+        """Epoch loop with the train pool resident in HBM: the epoch's
+        shuffled task stream is chunked into report windows, each window
+        running as ONE dispatch (lax.scan over meta-steps on device). The
+        protocol (per-epoch val, early stopping, checkpointing, final tests)
+        is identical to the streaming path."""
+        cfg = self.cfg
+        train = self.datasets["train"]
+        self.learner.set_task_pool(train.stacked_pool())
+        n_tasks = len(train)
+        steps_per_epoch = n_tasks // cfg.task_num
+        window = max(1, min(cfg.train_result_report_steps, steps_per_epoch))
+
+        for epoch in range(self.start_epoch, cfg.epoch):
+            rng = np.random.RandomState(cfg.seed + epoch)
+            order = rng.permutation(n_tasks)[:steps_per_epoch * cfg.task_num]
+            idx_mat = order.reshape(steps_per_epoch, cfg.task_num)
+            win_t = time.time()
+            for start in range(0, steps_per_epoch, window):
+                chunk = idx_mat[start:start + window]
+                m = self.learner.train_steps_from_pool(chunk)
+                accs = np.asarray(m["accs"])[-1]  # sync point
+                dt = max(time.time() - win_t, 1e-9)
+                win_t = time.time()
+                tasks_per_s = chunk.shape[0] * cfg.task_num / dt
+                self.global_step += int(chunk.shape[0])
+                self.metrics.echo_line(
+                    f"Epoch: {epoch + 1}  Step: {start + chunk.shape[0]}  "
+                    f"training acc: {accs[-1]:.3f}  tasks/s: {tasks_per_s:.1f}")
+                self.metrics.log(
+                    "train_window", epoch=epoch, step=self.global_step,
+                    acc_curve=accs.tolist(),
+                    meta_loss=float(np.asarray(m["meta_loss"])[-1]),
+                    nan_skip=int(np.asarray(m["nan_skip"]).sum()),
+                    tasks_per_s=round(tasks_per_s, 2),
+                    edges_per_s=round(tasks_per_s * mean_edges, 1),
+                    rss_gb=rss_gb())
+
+            curves = self.evaluate("val")
+            acc_curve = curves.mean(axis=0)
+            self.metrics.echo_line(
+                f"Epoch: {epoch + 1}  Val acc: {acc_curve[-1]:.3f}")
+            self.metrics.log("val", epoch=epoch, step=self.global_step,
+                             acc_curve=acc_curve.tolist())
+            if acc_curve[-1] > self.max_acc:
+                self.max_acc = float(acc_curve[-1])
+                self.best_params = self.learner.params
+            if (epoch + 1) % cfg.checkpoint_every_epochs == 0:
+                self._save(epoch)
+
+        return self._final_test(t_start)
+
+    def _final_test(self, t_start: float) -> "FitResult":
         # final test: last model, then best model (train.py:129-146)
+        cfg = self.cfg
         last_curves = self.evaluate("test")
         best_curves = self.evaluate("test", params=self.best_params)
         last_mean = last_curves.mean(axis=0)

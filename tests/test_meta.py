@@ -198,3 +198,30 @@ def test_fast_inner_loop_equivalent_meta_gradients():
     for a, b in zip(g_full, g_fast):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_multi_step_scan_equals_sequential_steps():
+    """train_steps_from_pool (K meta-steps in one dispatch) must produce the
+    same params and metrics as K sequential train_step_from_pool calls."""
+    from gmeta_tpu.data.pack import stack_tasks
+    store, cfg, spec, batch, _, feats = _tiny_task()
+    pool = batch  # leading axis = 2 tasks
+    idx_mat = np.array([[0, 1], [1, 0], [0, 0]], np.int32)
+
+    def fresh():
+        ml = MetaLearner(spec, cfg.n_way, update_lr=0.05, meta_lr=1e-3,
+                         update_step=2, update_step_test=2, seed=5)
+        ml.set_features(np.asarray(feats))
+        ml.set_task_pool(pool)
+        return ml
+
+    a = fresh()
+    seq_losses = [float(a.train_step_from_pool(r)["meta_loss"])
+                  for r in idx_mat]
+    b = fresh()
+    m = b.train_steps_from_pool(idx_mat)
+    np.testing.assert_allclose(np.asarray(m["meta_loss"]), seq_losses,
+                               rtol=1e-6)
+    for pa, pb in zip(a.params, b.params):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                                   rtol=1e-6, atol=1e-7)

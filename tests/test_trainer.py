@@ -74,3 +74,26 @@ def test_eval_chunking_covers_all_tasks(tmp_path):
     tr = Trainer(cfg, store, ds, labels_num=cfg.n_way)
     curves = tr.evaluate("val")
     assert curves.shape == (len(ds["val"]), cfg.update_step_test + 1)
+
+
+def test_device_pool_fit_matches_protocol():
+    """device_task_pool=True (HBM-resident pool, scanned report windows)
+    must run the identical protocol and produce a valid FitResult."""
+    import numpy as np
+    from gmeta_tpu.config import Config
+    from gmeta_tpu.data.synthetic import synthetic_disjoint
+    from gmeta_tpu.run.train import Trainer
+
+    store, ds = synthetic_disjoint(num_graphs=1, nodes_per_graph=150,
+                                   avg_degree=5, feat_dim=8, num_classes=9,
+                                   n_way=3, k_spt=3, k_qry=4, batchsz=12,
+                                   h=2, sample_nodes=60, seed=3)
+    cfg = Config(n_way=3, k_spt=3, k_qry=4, h=2, hidden_dim=8, epoch=2,
+                 task_num=4, update_step=2, update_step_test=2,
+                 eval_batchsz=6, device_task_pool=True,
+                 train_result_report_steps=2)
+    tr = Trainer(cfg, store, ds, labels_num=3)
+    r = tr.fit()
+    assert 0.0 <= r.test_acc_final <= 1.0
+    assert r.global_step == 2 * (12 // 4)
+    assert np.isfinite(r.val_max_acc)
