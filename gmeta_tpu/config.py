@@ -67,6 +67,9 @@ class Config:
                                         # | 'degree' (centrality-scored keep-top-k)
     profile_dir: str = ""               # jax.profiler trace dir; empty = off
     profile_steps: int = 5              # steps to trace (starting after compile)
+    debug_nans: bool = False            # jax_debug_nans: fail loudly at the op
+                                        # that produced a NaN instead of the
+                                        # (counted) NaN-skip guard (SURVEY §5.2)
 
     @property
     def labels_num(self) -> int:

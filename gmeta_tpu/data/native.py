@@ -137,7 +137,10 @@ class NativeSubgraphExtractor:
         return self.extract_many([f"{g}_{i}_{j}"])[0]
 
     def extract_many(self, names: Sequence[str]) -> List[Subgraph]:
-        missing = [n for n in set(names) if n not in self.cache]
+        # sorted: set iteration order depends on PYTHONHASHSEED; the engine's
+        # per-item RNG is content-derived so order no longer changes results,
+        # but a deterministic batch order keeps thread scheduling replayable.
+        missing = sorted(n for n in set(names) if n not in self.cache)
         if missing:
             items = np.full((len(missing), 3), -1, dtype=np.int64)
             for k, n in enumerate(missing):

@@ -13,6 +13,10 @@ from gmeta_tpu.data.graph import GraphStore, synthetic_store
 from gmeta_tpu.data.io import SplitIndex
 from gmeta_tpu.data.pipeline import MetaDataset
 
+# Fixed per-split sampler-seed offsets. (A string hash here would be
+# PYTHONHASHSEED-salted, making the sampled episodes differ run to run.)
+_MODE_SALT = {"train": 0, "val": 101, "test": 202}
+
 
 def synthetic_disjoint(num_graphs=1, nodes_per_graph=3000, avg_degree=8,
                        feat_dim=32, num_classes=12, n_way=3, k_spt=3, k_qry=6,
@@ -54,7 +58,7 @@ def synthetic_disjoint(num_graphs=1, nodes_per_graph=3000, avg_degree=8,
             task_setup="Disjoint", link_pred_mode=False,
             n_way=n_way, k_spt=k_spt, k_qry=k_qry,
             batchsz=batchsz if m == "train" else max(batchsz // 4, 4),
-            seed=seed + hash(m) % 1000)
+            seed=seed + _MODE_SALT[m])
     return store, datasets
 
 
@@ -94,7 +98,7 @@ def synthetic_shared(num_graphs=6, nodes_per_graph=800, avg_degree=8,
             task_setup="Shared", link_pred_mode=False,
             n_way=num_classes, k_spt=k_spt, k_qry=k_qry,
             batchsz=batchsz if m == "train" else max(batchsz // 4, 4),
-            seed=seed + hash(m) % 1000)
+            seed=seed + _MODE_SALT[m])
     return store, datasets
 
 
@@ -178,5 +182,5 @@ def synthetic_link_pred(num_graphs=6, nodes_per_graph=600, avg_degree=8,
             batchsz=batchsz if mode == "train" else max(batchsz // 4, 4),
             index_spt=SplitIndex(rows[mode]["spt"]),
             index_qry=SplitIndex(rows[mode]["qry"]),
-            seed=seed + hash(mode) % 1000)
+            seed=seed + _MODE_SALT[mode])
     return store, datasets

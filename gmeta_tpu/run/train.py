@@ -53,6 +53,8 @@ class Trainer:
         self.store = store
         self.datasets = datasets
         self.mesh = mesh
+        if cfg.debug_nans:
+            jax.config.update("jax_debug_nans", True)
         self.metrics = metrics or MetricLogger(cfg.metrics_path)
         self.spec = build_model_config(cfg, store.feat_dim, labels_num)
         compute_dtype = (jnp.bfloat16 if cfg.dtype == "bfloat16"

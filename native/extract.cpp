@@ -201,9 +201,16 @@ void gx_extract_batch(void* h, const int64_t* items, int64_t n_items,
       int64_t i = next.fetch_add(1);
       if (i >= n_items) break;
       int64_t gi = items[3 * i], c1 = items[3 * i + 1], c2 = items[3 * i + 2];
+      // Per-item RNG stream derived from the item's CONTENT (graph +
+      // centers), never its batch position: extraction is then a pure
+      // function of (graph set, name, seed) — independent of call order,
+      // batching, cache state, and PYTHONHASHSEED (set-order) upstream.
+      uint64_t s = seed;
+      s = (s ^ (uint64_t)(gi + 1)) * 0x9E3779B97F4A7C15ULL;
+      s = (s ^ (uint64_t)(c1 + 1)) * 0x9E3779B97F4A7C15ULL;
+      s = (s ^ (uint64_t)(c2 + 1)) * 0x9E3779B97F4A7C15ULL;
       extract_one(eng->graphs[gi], sc, (int)gi, c1, c2, hops, sample_nodes,
-                  seed * 0x9E3779B97F4A7C15ULL + (uint64_t)i,
-                  cap_strategy, &eng->results[base + i]);
+                  s, cap_strategy, &eng->results[base + i]);
       out_ids[i] = (int64_t)(base + i);
     }
   };

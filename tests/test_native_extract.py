@@ -86,3 +86,20 @@ def test_degree_cap_matches_numpy_exactly():
         np.testing.assert_array_equal(a.parents, b.parents)
         np.testing.assert_array_equal(a.centers, b.centers)
         np.testing.assert_array_equal(a.edge_dst, b.edge_dst)
+
+
+def test_extraction_order_and_hashseed_invariant():
+    """Capped extraction must be a pure function of (graphs, name, seed):
+    identical whether names arrive batched, reversed, or one-by-one
+    (the per-item RNG stream is content-derived, not batch-position-derived)."""
+    g = _graph(seed=7, n=600, m=9000)
+    names = [f"0_{i}" for i in (5, 99, 321, 17, 402)]
+    a = native.NativeSubgraphExtractor([g], h=2, sample_nodes=48)
+    subs_batched = a.extract_many(names)
+    b = native.NativeSubgraphExtractor([g], h=2, sample_nodes=48)
+    subs_rev = list(reversed(b.extract_many(list(reversed(names)))))
+    c = native.NativeSubgraphExtractor([g], h=2, sample_nodes=48)
+    subs_single = [c.extract(n) for n in names]
+    for x, y, z in zip(subs_batched, subs_rev, subs_single):
+        np.testing.assert_array_equal(x.parents, y.parents)
+        np.testing.assert_array_equal(x.parents, z.parents)
