@@ -152,10 +152,18 @@ def synthetic_store(
     num_classes: int = 10,
     seed: int = 0,
     class_signal: float = 1.0,
+    homophily: float = 0.0,
 ):
     """Random multi-graph dataset with class-correlated features, for tests
     and benchmarks. Edges are made bidirectional (the reference datasets are
     effectively undirected: in/out degree comments at learner.py:135-136).
+
+    `homophily` is the fraction of edges rewired to connect SAME-class
+    endpoints. The GCN has no self-loops (learner.py:38-45), so a center's
+    embedding sees only its neighbors' features — without homophily a node's
+    own label is structurally invisible to the model (as in a uniform random
+    graph) and meta-learning cannot beat chance. The reference's real
+    datasets are homophilous citation/PPI graphs.
 
     Returns (GraphStore, labels) where labels[g] is (nodes_per_graph,) int.
     """
@@ -164,12 +172,20 @@ def synthetic_store(
     for g in range(num_graphs):
         n = nodes_per_graph
         m = n * avg_degree // 2
+        y = rng.randint(0, num_classes, size=n)
         src = rng.randint(0, n, size=m)
         dst = rng.randint(0, n, size=m)
+        if homophily > 0.0:
+            # rewire a fraction of edges to a same-class destination
+            by_class = [np.flatnonzero(y == c) for c in range(num_classes)]
+            rew = rng.rand(m) < homophily
+            for e in np.flatnonzero(rew):
+                pool = by_class[y[src[e]]]
+                if len(pool):
+                    dst[e] = pool[rng.randint(len(pool))]
         keep = src != dst
         graphs.append(CSRGraph.from_edges(src[keep], dst[keep], n,
                                           make_bidirectional=True))
-        y = rng.randint(0, num_classes, size=n)
         centers = rng.randn(num_classes, feat_dim).astype(np.float32)
         x = (centers[y] * class_signal
              + rng.randn(n, feat_dim).astype(np.float32))

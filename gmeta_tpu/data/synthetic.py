@@ -21,13 +21,14 @@ _MODE_SALT = {"train": 0, "val": 101, "test": 202}
 def synthetic_disjoint(num_graphs=1, nodes_per_graph=3000, avg_degree=8,
                        feat_dim=32, num_classes=12, n_way=3, k_spt=3, k_qry=6,
                        batchsz=20, h=2, sample_nodes=1000, seed=0,
-                       split=(0.6, 0.2, 0.2), class_signal=2.0
-                       ) -> Tuple[GraphStore, dict]:
+                       split=(0.6, 0.2, 0.2), class_signal=2.0,
+                       homophily=0.0) -> Tuple[GraphStore, dict]:
     """Disjoint-label node classification: the *label space* is partitioned
     across splits (data_process/node_process.py:35-44 semantics).
     Returns (store, {mode: MetaDataset})."""
     store, labels = synthetic_store(num_graphs, nodes_per_graph, avg_degree,
-                                    feat_dim, num_classes, seed, class_signal)
+                                    feat_dim, num_classes, seed, class_signal,
+                                    homophily=homophily)
     rng = np.random.RandomState(seed)
     classes = rng.permutation(num_classes)
     n_tr = max(int(num_classes * split[0]), n_way)
@@ -65,11 +66,12 @@ def synthetic_disjoint(num_graphs=1, nodes_per_graph=3000, avg_degree=8,
 def synthetic_shared(num_graphs=6, nodes_per_graph=800, avg_degree=8,
                      feat_dim=16, num_classes=4, k_spt=3, k_qry=5,
                      batchsz=12, h=2, sample_nodes=500, seed=0,
-                     class_signal=2.0):
+                     class_signal=2.0, homophily=0.0):
     """Shared-label node classification: the *graph space* is partitioned
     (node_process.py:82-99 semantics); every graph carries all classes."""
     store, labels = synthetic_store(num_graphs, nodes_per_graph, avg_degree,
-                                    feat_dim, num_classes, seed, class_signal)
+                                    feat_dim, num_classes, seed, class_signal,
+                                    homophily=homophily)
     rng = np.random.RandomState(seed)
     order = rng.permutation(num_graphs)
     n_tr = max(num_graphs * 3 // 5, 1)

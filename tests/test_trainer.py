@@ -97,3 +97,28 @@ def test_device_pool_fit_matches_protocol():
     assert 0.0 <= r.test_acc_final <= 1.0
     assert r.global_step == 2 * (12 // 4)
     assert np.isfinite(r.val_max_acc)
+
+
+def test_meta_learning_beats_chance_on_homophilous_graph():
+    """End-to-end learning signal (SURVEY.md §4 tier 3 stand-in for the
+    arxiv recipe, whose dataset is an external download): on a homophilous
+    class-signal graph, meta-test accuracy on UNSEEN classes must clearly
+    beat 3-way chance (0.33). Reference run reaches ~0.9."""
+    import io, contextlib
+    from gmeta_tpu.config import Config
+    from gmeta_tpu.data.synthetic import synthetic_disjoint
+    from gmeta_tpu.run.train import Trainer
+    store, ds = synthetic_disjoint(num_graphs=1, nodes_per_graph=600,
+                                   avg_degree=6, feat_dim=16, num_classes=9,
+                                   n_way=3, k_spt=3, k_qry=8, batchsz=48,
+                                   h=2, sample_nodes=100, seed=0,
+                                   class_signal=2.0, homophily=0.7)
+    cfg = Config(n_way=3, k_spt=3, k_qry=8, h=2, hidden_dim=32, epoch=3,
+                 task_num=8, update_step=5, update_step_test=5,
+                 update_lr=0.05, meta_lr=2e-3, eval_batchsz=12,
+                 device_task_pool=True, train_result_report_steps=6,
+                 metrics_path="/dev/null")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        r = Trainer(cfg, store, ds, labels_num=3).fit()
+    assert r.test_acc_final > 0.6, r
