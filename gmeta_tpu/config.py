@@ -10,7 +10,6 @@ same semantics. The five presets reproduce the README recipes
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 
 @dataclasses.dataclass
@@ -39,7 +38,9 @@ class Config:
     first_order: bool = True            # reference never sets create_graph (meta.py:125,149)
 
     # --- model ---
-    input_dim: int = 1                  # overwritten from features at load (train.py:67)
+    input_dim: int = 0                  # 0 = derive from features at load,
+                                        # mirroring train.py:67; a nonzero
+                                        # value must match the data
     hidden_dim: int = 64
 
     # --- runtime ---
@@ -47,13 +48,12 @@ class Config:
     dtype: str = "float32"              # compute dtype for activations
     train_result_report_steps: int = 30
     num_workers: int = 0                # host pipeline prefetch threads
-    task_microbatch: int = 0            # 0 = all tasks at once; else lax.map chunk size
+    # (mesh selection lives on the CLI: --mesh_tasks N)
     device_task_pool: bool = False      # place the train task pool in HBM once
                                         # and scan train_result_report_steps
                                         # meta-steps per dispatch (amortizes
                                         # host->device latency; needs the
                                         # packed pool to fit HBM)
-    mesh_shape: Optional[tuple] = None  # e.g. (8,) for 8-way task-DP; None = single device
     checkpoint_dir: str = ""            # empty = no checkpointing
     checkpoint_every_epochs: int = 1
     metrics_path: str = ""              # jsonl metrics stream; empty = stdout only

@@ -20,7 +20,7 @@ import numpy as np
 from gmeta_tpu.data.extract import SubgraphExtractor
 from gmeta_tpu.data.io import SplitIndex
 from gmeta_tpu.data.graph import GraphStore
-from gmeta_tpu.data.pack import TaskBatch, bucket_size, pack_set
+from gmeta_tpu.data.pack import TaskBatch, pack_set, stack_tasks
 from gmeta_tpu.data.sampler import EpisodeSampler
 
 
@@ -144,9 +144,7 @@ class MetaDataset:
         the whole pre-sampled pool in device HBM (MetaLearner.set_task_pool).
         Worth it when batchsz * bucket sizes fit HBM; otherwise stream
         `batches()`."""
-        import jax
-        packed = [self.pack_task(t) for t in self.tasks]
-        return jax.tree.map(lambda *xs: np.stack(xs, axis=0), *packed)
+        return stack_tasks([self.pack_task(t) for t in self.tasks])
 
     def __len__(self) -> int:
         return len(self.tasks)
@@ -166,8 +164,6 @@ class MetaDataset:
         """Yield meta-batches as TaskBatch pytrees with a leading task axis.
         Passing `seed` makes the epoch's order a pure function of it
         (checkpoint resume at epoch boundaries reproduces the stream)."""
-        import jax
-
         order = np.arange(len(self.tasks))
         if shuffle:
             rng = self.rng if seed is None else np.random.RandomState(seed)
@@ -178,15 +174,18 @@ class MetaDataset:
         def gen():
             for start in range(0, limit, task_num):
                 idxs = order[start:start + task_num]
-                packed = [self.pack_task(self.tasks[i]) for i in idxs]
-                yield jax.tree.map(lambda *xs: np.stack(xs, axis=0), *packed)
+                yield stack_tasks([self.pack_task(self.tasks[i])
+                                   for i in idxs])
 
         if num_workers <= 0:
             yield from gen()
             return
 
         # Single background producer thread (extraction is memoized; packing
-        # is flat copies, so one producer keeps the device fed).
+        # is flat copies, so one producer keeps the device fed). Exceptions
+        # are shipped across the queue and re-raised in the consumer, so
+        # num_workers>0 keeps the same fail-fast semantics as the inline path
+        # (a swallowed error would silently truncate the epoch).
         q: "queue.Queue" = queue.Queue(maxsize=max(2, num_workers))
         _END = object()
 
@@ -194,8 +193,9 @@ class MetaDataset:
             try:
                 for item in gen():
                     q.put(item)
-            finally:
                 q.put(_END)
+            except BaseException as e:  # noqa: BLE001 — re-raised by consumer
+                q.put(e)
 
         th = threading.Thread(target=producer, daemon=True)
         th.start()
@@ -203,5 +203,8 @@ class MetaDataset:
             item = q.get()
             if item is _END:
                 break
+            if isinstance(item, BaseException):
+                th.join()
+                raise item
             yield item
         th.join()

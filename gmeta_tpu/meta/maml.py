@@ -186,11 +186,26 @@ class MetaLearner:
                 params, batch, feats)
             return aux.qry_accs
 
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as _P
+            _task_shd = NamedSharding(mesh, _P("task"))
+
+            def _constrain_tasks(batch):
+                # DP over the gathered meta-batch: shard the leading task
+                # axis across the mesh (GSPMD inserts the meta-gradient
+                # psum), pool itself stays replicated.
+                return jax.tree.map(
+                    lambda x: jax.lax.with_sharding_constraint(x, _task_shd),
+                    batch)
+        else:
+            def _constrain_tasks(batch):
+                return batch
+
         def train_step_pool(params, opt_state, pool, idxs, feats):
             # Gather the meta-batch from the device-resident task pool inside
             # jit: per-step host->device traffic is just `idxs` (bytes), the
             # TPU-native replacement for re-shipping packed batches each step.
-            batch = jax.tree.map(lambda x: x[idxs], pool)
+            batch = _constrain_tasks(jax.tree.map(lambda x: x[idxs], pool))
             return train_step(params, opt_state, batch, feats)
 
         def train_many_pool(params, opt_state, pool, idx_mat, feats):
@@ -199,7 +214,7 @@ class MetaLearner:
             # latency (the tunnel round-trip dominates small steps) to ~0.
             def body(carry, idxs):
                 p, o = carry
-                batch = jax.tree.map(lambda x: x[idxs], pool)
+                batch = _constrain_tasks(jax.tree.map(lambda x: x[idxs], pool))
                 p, o, metrics = train_step(p, o, batch, feats)
                 return (p, o), metrics
             (params, opt_state), ms = jax.lax.scan(
@@ -228,9 +243,16 @@ class MetaLearner:
     def set_task_pool(self, pool: TaskBatch):
         """Place a stacked task pool (leading axis = number of tasks) in
         device HBM once; subsequent train_step_from_pool calls transfer only
-        task indices."""
-        self._pool = jax.tree.map(
-            lambda x: jax.device_put(jnp.asarray(x)), pool)
+        task indices. With a mesh, the pool is replicated across devices and
+        each gathered meta-batch is sharded over the 'task' axis."""
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            rep = NamedSharding(self.mesh, P())
+            self._pool = jax.tree.map(
+                lambda x: jax.device_put(jnp.asarray(x), rep), pool)
+        else:
+            self._pool = jax.tree.map(
+                lambda x: jax.device_put(jnp.asarray(x)), pool)
 
     def train_step_from_pool(self, idxs):
         idxs = jnp.asarray(idxs, dtype=jnp.int32)

@@ -42,7 +42,7 @@ class FitResult:
     best_test_acc: float           # clean: mean accs[-1], best model
     early_stopped_ref: float       # reference-style contaminated average
     val_max_acc: float
-    epochs_run: int
+    epochs_run: int                # epochs executed THIS process (resume-aware)
     global_step: int
 
 
@@ -136,6 +136,7 @@ class Trainer:
 
         mean_edges = train.mean_edges_per_task
         win_t, win_steps = time.time(), 0
+        self._fit_from_epoch = self.start_epoch  # for epochs_run on resume
 
         if cfg.device_task_pool:
             return self._fit_device_pool(t_start, mean_edges)
@@ -212,6 +213,10 @@ class Trainer:
         n_tasks = len(train)
         steps_per_epoch = n_tasks // cfg.task_num
         window = max(1, min(cfg.train_result_report_steps, steps_per_epoch))
+        # profiler window: trace the second dispatched chunk (first includes
+        # compile), mirroring the streaming path's post-compile trace
+        prof_chunk = 1 if cfg.profile_dir else -1
+        chunks_done = 0
 
         for epoch in range(self.start_epoch, cfg.epoch):
             rng = np.random.RandomState(cfg.seed + epoch)
@@ -220,8 +225,15 @@ class Trainer:
             win_t = time.time()
             for start in range(0, steps_per_epoch, window):
                 chunk = idx_mat[start:start + window]
+                if chunks_done == prof_chunk:
+                    jax.profiler.start_trace(cfg.profile_dir)
                 m = self.learner.train_steps_from_pool(chunk)
                 accs = np.asarray(m["accs"])[-1]  # sync point
+                if chunks_done == prof_chunk:
+                    jax.profiler.stop_trace()
+                    self.metrics.echo_line(
+                        f"profiler trace written to {cfg.profile_dir}")
+                chunks_done += 1
                 dt = max(time.time() - win_t, 1e-9)
                 win_t = time.time()
                 tasks_per_s = chunk.shape[0] * cfg.task_num / dt
@@ -272,7 +284,7 @@ class Trainer:
             best_test_acc=float(best_mean[-1]),
             early_stopped_ref=float(contaminated[-1]),
             val_max_acc=self.max_acc,
-            epochs_run=cfg.epoch,
+            epochs_run=cfg.epoch - getattr(self, "_fit_from_epoch", 0),
             global_step=self.global_step)
         self.metrics.log("fit_result", **dataclasses.asdict(result))
         return result
@@ -300,7 +312,20 @@ def build_datasets(cfg: Config):
         extractor = SubgraphExtractor(
             data.store.graphs, h=cfg.h, sample_nodes=cfg.sample_nodes,
             seed=cfg.seed, cap_strategy=cfg.cap_strategy)
+    # input_dim mirrors the reference: derived from the feature width at
+    # load (train.py:67); a user-set nonzero value must agree with the data.
+    if cfg.input_dim and cfg.input_dim != data.store.feat_dim:
+        raise ValueError(
+            f"input_dim={cfg.input_dim} != features width "
+            f"{data.store.feat_dim}")
+    cfg.input_dim = data.store.feat_dim
+
     datasets = {}
+    # Per-split sampler-seed offsets: the reference consumes one global RNG
+    # stream across the three Subgraphs constructions (train.py:89-91), so
+    # its splits never sample identical episode sequences; identical seeds
+    # here would correlate val and test episodes.
+    salt = {"train": 0, "val": 101, "test": 202}
     for mode in ("train", "val", "test"):
         split = data.splits[mode]
         datasets[mode] = MetaDataset(
@@ -309,7 +334,7 @@ def build_datasets(cfg: Config):
             n_way=cfg.n_way, k_spt=cfg.k_spt, k_qry=cfg.k_qry,
             batchsz=cfg.batchsz if mode == "train" else cfg.eval_batchsz,
             index_spt=split.get("spt"), index_qry=split.get("qry"),
-            seed=cfg.seed)
+            seed=cfg.seed + salt[mode])
     # output dim: Disjoint -> n_way; Shared -> total class count
     # (train.py:58-61)
     labels_num = cfg.n_way if cfg.task_setup == "Disjoint" else data.total_class
