@@ -56,6 +56,10 @@ class Config:
                                         # packed pool to fit HBM)
     checkpoint_dir: str = ""            # empty = no checkpointing
     checkpoint_every_epochs: int = 1
+    checkpoint_every_steps: int = 0     # 0 = epoch-granular only; N > 0 also
+                                        # checkpoints every N train steps so a
+                                        # kill mid-epoch resumes at the exact
+                                        # batch (streaming path)
     metrics_path: str = ""              # jsonl metrics stream; empty = stdout only
     remat_inner: bool = False           # jax.checkpoint the inner-loop step
     track_train_curve: bool = True      # per-step query evals during training
@@ -77,6 +81,12 @@ class Config:
 
     def validate(self) -> "Config":
         assert self.task_setup in ("Disjoint", "Shared"), self.task_setup
+        if self.task_setup == "Shared" and self.n_way != Config.n_way:
+            import warnings
+            warnings.warn(
+                "n_way is ignored in the Shared setup: every class of the "
+                "sampled graph is used (subgraph_data_processing.py:198-217)",
+                stacklevel=2)
         assert self.h in (1, 2, 3), "h must be 1, 2 or 3 (reference supports only these)"
         assert self.k_spt >= 1 and self.k_qry >= 1 and self.n_way >= 2
         assert self.cap_strategy in ("uniform", "degree"), self.cap_strategy

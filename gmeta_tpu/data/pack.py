@@ -75,14 +75,6 @@ def round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def bucket_size(x: int, floor: int = 128) -> int:
-    """Round up to {floor * 2^k} to bound the number of compiled shapes."""
-    b = floor
-    while b < x:
-        b *= 2
-    return b
-
-
 def ffd_bins(sizes: Sequence[int], P: int) -> List[int]:
     """First-fit-decreasing bin assignment: bin index per subgraph, bins of
     capacity P. Deterministic (stable sort by -size). FFD is within 11/9 of

@@ -160,51 +160,71 @@ class MetaDataset:
     def batches(self, task_num: int, shuffle: bool = True,
                 drop_last: bool = True,
                 num_workers: int = 0,
-                seed: Optional[int] = None) -> Iterator[TaskBatch]:
+                seed: Optional[int] = None,
+                skip_batches: int = 0,
+                pad_last: bool = False) -> Iterator[TaskBatch]:
         """Yield meta-batches as TaskBatch pytrees with a leading task axis.
-        Passing `seed` makes the epoch's order a pure function of it
-        (checkpoint resume at epoch boundaries reproduces the stream)."""
+        Passing `seed` makes the epoch's order a pure function of it, so
+        checkpoint resume reproduces the stream; `skip_batches` fast-forwards
+        past already-consumed batches (mid-epoch resume). `pad_last` pads a
+        ragged final batch to task_num by repeating tasks (callers drop the
+        padded rows), keeping one compiled shape per split."""
         order = np.arange(len(self.tasks))
         if shuffle:
             rng = self.rng if seed is None else np.random.RandomState(seed)
             rng.shuffle(order)
         n = len(order)
         limit = (n // task_num) * task_num if drop_last else n
+        starts = list(range(skip_batches * task_num, limit, task_num))
 
-        def gen():
-            for start in range(0, limit, task_num):
-                idxs = order[start:start + task_num]
-                yield stack_tasks([self.pack_task(self.tasks[i])
-                                   for i in idxs])
+        def make(start: int) -> TaskBatch:
+            idxs = order[start:start + task_num]
+            if pad_last and len(idxs) < task_num:
+                idxs = np.concatenate(
+                    [idxs, order[:task_num - len(idxs)]])
+            return stack_tasks([self.pack_task(self.tasks[i])
+                                for i in idxs])
 
         if num_workers <= 0:
-            yield from gen()
+            for s in starts:
+                yield make(s)
             return
 
-        # Single background producer thread (extraction is memoized; packing
-        # is flat copies, so one producer keeps the device fed). Exceptions
-        # are shipped across the queue and re-raised in the consumer, so
-        # num_workers>0 keeps the same fail-fast semantics as the inline path
-        # (a swallowed error would silently truncate the epoch).
-        q: "queue.Queue" = queue.Queue(maxsize=max(2, num_workers))
-        _END = object()
+        # N producer threads pack batches concurrently (numpy copies release
+        # the GIL); the consumer reassembles in stream order. Exceptions are
+        # shipped across the queue and re-raised, keeping the inline path's
+        # fail-fast semantics (a swallowed error would silently truncate the
+        # epoch).
+        workers = min(num_workers, len(starts)) or 1
+        q: "queue.Queue" = queue.Queue(maxsize=2 * workers)
+        work = queue.Queue()
+        for i, s in enumerate(starts):
+            work.put((i, s))
 
         def producer():
-            try:
-                for item in gen():
-                    q.put(item)
-                q.put(_END)
-            except BaseException as e:  # noqa: BLE001 — re-raised by consumer
-                q.put(e)
+            while True:
+                try:
+                    i, s = work.get_nowait()
+                except queue.Empty:
+                    return
+                try:
+                    q.put((i, make(s)))
+                except BaseException as e:  # noqa: BLE001 — re-raised below
+                    q.put((i, e))
+                    return
 
-        th = threading.Thread(target=producer, daemon=True)
-        th.start()
-        while True:
-            item = q.get()
-            if item is _END:
-                break
+        threads = [threading.Thread(target=producer, daemon=True)
+                   for _ in range(workers)]
+        for th in threads:
+            th.start()
+        pending: Dict[int, object] = {}
+        for want in range(len(starts)):
+            while want not in pending:
+                i, item = q.get()
+                pending[i] = item
+            item = pending.pop(want)
             if isinstance(item, BaseException):
-                th.join()
                 raise item
             yield item
-        th.join()
+        for th in threads:
+            th.join()

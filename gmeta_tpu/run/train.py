@@ -74,6 +74,7 @@ class Trainer:
         self.max_acc = 0.0
         self.best_params = self.learner.params
         self.start_epoch = 0
+        self.start_batch = 0   # in-epoch batch position (mid-epoch resume)
         self.global_step = 0
 
         if cfg.checkpoint_dir:
@@ -91,12 +92,24 @@ class Trainer:
             is_leaf=lambda x: isinstance(x, np.ndarray))
         self.max_acc = float(state["max_acc"])
         self.best_params = tuple(jnp.asarray(p) for p in state["best_params"])
-        self.start_epoch = int(state["epoch"]) + 1
         self.global_step = int(state["step"])
+        batch_in_epoch = int(state.get("batch_in_epoch", -1))
+        if batch_in_epoch >= 0:
+            # mid-epoch snapshot: re-enter the SAME epoch and skip the batches
+            # already consumed (the stream order is a pure function of
+            # seed + epoch, so position alone pins the remaining stream)
+            self.start_epoch = int(state["epoch"])
+            self.start_batch = batch_in_epoch
+        else:
+            self.start_epoch = int(state["epoch"]) + 1
+            self.start_batch = 0
         self.metrics.echo_line(
-            f"resumed from {path} at epoch {self.start_epoch}")
+            f"resumed from {path} at epoch {self.start_epoch}"
+            f" batch {self.start_batch}")
 
-    def _save(self, epoch: int):
+    def _save(self, epoch: int, batch_in_epoch: int = -1):
+        """batch_in_epoch >= 0 marks a mid-epoch snapshot: `batch_in_epoch`
+        batches of this epoch are already consumed; -1 = epoch complete."""
         if not self.cfg.checkpoint_dir:
             return
         ckpt.save(self.cfg.checkpoint_dir, self.global_step, {
@@ -105,6 +118,7 @@ class Trainer:
             "best_params": self.best_params,
             "max_acc": self.max_acc,
             "epoch": epoch,
+            "batch_in_epoch": batch_in_epoch,
             "step": self.global_step,
         })
 
@@ -113,14 +127,17 @@ class Trainer:
     def evaluate(self, split: str, params=None) -> np.ndarray:
         """Mean accuracy curve (update_step_test+1,) over a split's tasks,
         evaluated in vmapped chunks (reference: one-at-a-time DataLoader,
-        train.py:115-121)."""
+        train.py:115-121). The ragged last chunk is padded to the full chunk
+        size (repeating tasks) and the padded rows dropped, so ONE program
+        shape covers the whole split — no recompile on the remainder."""
         ds = self.datasets[split]
         chunk = max(1, self.cfg.task_num)
         curves = []
-        for batch in ds.batches(chunk, shuffle=False, drop_last=False):
+        for batch in ds.batches(chunk, shuffle=False, drop_last=False,
+                                pad_last=True):
             accs = self.learner.finetune_batch(batch, params=params)
             curves.append(np.asarray(accs))
-        return np.concatenate(curves, axis=0)
+        return np.concatenate(curves, axis=0)[:len(ds)]
 
     # ---- training ----------------------------------------------------------
 
@@ -143,9 +160,11 @@ class Trainer:
 
         for epoch in range(self.start_epoch, cfg.epoch):
             timer = StepTimer()
+            skip = self.start_batch if epoch == self.start_epoch else 0
             for step, batch in enumerate(train.batches(
                     cfg.task_num, shuffle=True, seed=cfg.seed + epoch,
-                    num_workers=cfg.num_workers)):
+                    num_workers=cfg.num_workers, skip_batches=skip),
+                    start=skip):
                 data_t = timer.split()
                 if prof_stop >= 0 and not prof_active \
                         and self.global_step == prof_stop - cfg.profile_steps:
@@ -182,6 +201,9 @@ class Trainer:
                         edges_per_s=round(tasks_per_s * mean_edges, 1),
                         data_s=data_t, compute_s=compute_t, rss_gb=rss_gb())
                 self.global_step += 1
+                if (cfg.checkpoint_every_steps
+                        and self.global_step % cfg.checkpoint_every_steps == 0):
+                    self._save(epoch, batch_in_epoch=step + 1)
 
             # per-epoch validation + early stopping (train.py:115-127)
             curves = self.evaluate("val")

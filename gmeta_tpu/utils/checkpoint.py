@@ -3,9 +3,12 @@
 The reference has none — its one torch.save is commented out
 (G-Meta/train.py:143) and the best model lives only in RAM via deepcopy, so
 a crash loses the run (SURVEY.md §5.4). Here the full training state —
-params, Adam state, epoch/step counters, the early-stopping best snapshot
-and its val acc, and the data-order RNG — is serialized so resume restores
-the exact protocol state.
+params, Adam state, epoch / in-epoch batch position / global step counters,
+and the early-stopping best snapshot with its val acc — is serialized so
+resume restores the exact protocol state. Data order needs no RNG blob: the
+epoch's task order is a pure function of (config seed, epoch), so the saved
+in-epoch position alone pins the remaining stream (pipeline.batches
+`seed` + `skip_batches`).
 
 Format: a pickle of a numpy-ified pytree (params are a flat tuple of
 arrays; optax states are namedtuple pytrees that pickle cleanly). Writes

@@ -9,7 +9,7 @@ import pytest
 from gmeta_tpu.config import Config, build_model_config
 from gmeta_tpu.data.extract import SubgraphExtractor
 from gmeta_tpu.data.graph import CSRGraph, GraphStore, synthetic_store
-from gmeta_tpu.data.pack import pack_set, bucket_size
+from gmeta_tpu.data.pack import pack_set, round_up
 from gmeta_tpu.models.gcn import forward, init_params, precompute, count_params
 from gmeta_tpu.ops.spmm import aggregate, densify, aggregate_dense
 
@@ -31,8 +31,8 @@ def _packed_case(seed=0, n_sub=5, link_pred=False):
             i = int(rng.randint(60))
             subs.append(ex.extract_node(g, i, f"{g}_{i}"))
         gidx.append(g)
-    P = bucket_size(max(s.num_nodes for s in subs), floor=64)
-    E = bucket_size(sum(s.num_edges for s in subs))
+    P = round_up(max(s.num_nodes for s in subs), 64)
+    E = round_up(sum(s.num_edges for s in subs), 128)
     y = rng.randint(0, 3, size=n_sub)
     sg = pack_set(subs, gidx, y, store, P, E)
     return store, subs, gidx, sg

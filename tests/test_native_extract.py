@@ -103,3 +103,26 @@ def test_extraction_order_and_hashseed_invariant():
     for x, y, z in zip(subs_batched, subs_rev, subs_single):
         np.testing.assert_array_equal(x.parents, y.parents)
         np.testing.assert_array_equal(x.parents, z.parents)
+
+
+def test_degree_cap_all_equal_degrees():
+    """Adversarial tie-break case (VERDICT weak #6): every candidate has the
+    SAME in-degree, so the cap cut is decided purely by the id tie-break —
+    numpy's full lexsort and the C++ engine's nth_element partial sort must
+    still pick the identical node set."""
+    # ring of rings: every node has in-degree exactly 2 (bidirectional ring)
+    n = 257  # prime-ish, avoids accidental structure
+    src = np.concatenate([np.arange(n), (np.arange(n) + 1) % n])
+    dst = np.concatenate([(np.arange(n) + 1) % n, np.arange(n)])
+    g = CSRGraph.from_edges(src, dst, n)
+    ref = SubgraphExtractor([g], h=3, sample_nodes=4, cap_strategy="degree")
+    nat = native.NativeSubgraphExtractor([g], h=3, sample_nodes=4,
+                                         cap_strategy="degree")
+    for c in (0, 64, 128, 256):
+        a = ref.extract_node(0, c, f"0_{c}")
+        b = nat.extract(f"0_{c}")
+        np.testing.assert_array_equal(a.parents, b.parents)
+        np.testing.assert_array_equal(a.centers, b.centers)
+        got = sorted(zip(b.edge_src.tolist(), b.edge_dst.tolist()))
+        want = sorted(zip(a.edge_src.tolist(), a.edge_dst.tolist()))
+        assert got == want

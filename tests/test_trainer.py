@@ -122,3 +122,65 @@ def test_meta_learning_beats_chance_on_homophilous_graph():
     with contextlib.redirect_stdout(buf):
         r = Trainer(cfg, store, ds, labels_num=3).fit()
     assert r.test_acc_final > 0.6, r
+
+
+def test_midepoch_kill_resume_matches_straight_run(tmp_path):
+    """Kill mid-epoch, resume from the step checkpoint, finish — params must
+    match the uninterrupted run bitwise-to-tolerance (VERDICT item 7). The
+    stream order is a pure function of (seed, epoch), so the saved in-epoch
+    position alone reproduces the remaining batches."""
+    store, ds, cfg = _setup(tmp_path, epochs=2, ckpt=False)
+    # straight run: 2 epochs x 2 steps
+    tr_full = Trainer(dataclasses.replace(cfg, metrics_path=""),
+                      store, ds, labels_num=cfg.n_way)
+    res_full = tr_full.fit()
+
+    # interrupted run: checkpoint every step; abort after step 3 of 4
+    # (mid-epoch 2) by raising from the metrics logger
+    cfg_k = dataclasses.replace(
+        cfg, checkpoint_dir=str(tmp_path / "ck_mid"),
+        checkpoint_every_steps=1, metrics_path=str(tmp_path / "mk.jsonl"))
+    tr_k = Trainer(cfg_k, store, ds, labels_num=cfg.n_way)
+
+    class _Kill(Exception):
+        pass
+
+    orig = tr_k.learner.train_step
+    calls = {"n": 0}
+
+    def killing_step(batch):
+        if calls["n"] == 3:
+            raise _Kill()
+        calls["n"] += 1
+        return orig(batch)
+
+    tr_k.learner.train_step = killing_step
+    try:
+        tr_k.fit()
+        raise AssertionError("expected _Kill")
+    except _Kill:
+        pass
+
+    # fresh process analog: new Trainer resumes from the step checkpoint
+    tr_r = Trainer(cfg_k, store, ds, labels_num=cfg.n_way)
+    assert tr_r.start_epoch == 1 and tr_r.start_batch == 1, (
+        tr_r.start_epoch, tr_r.start_batch)
+    res_r = tr_r.fit()
+    assert res_r.global_step == res_full.global_step
+    for a, b in zip(tr_full.learner.params, tr_r.learner.params):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_multiworker_stream_matches_inline(tmp_path):
+    """num_workers>0 must yield the identical batch sequence as the inline
+    path (N producer threads + ordered reassembly)."""
+    store, ds, cfg = _setup(tmp_path, ckpt=False)
+    train = ds["train"]
+    inline = list(train.batches(2, shuffle=True, seed=5, num_workers=0))
+    threaded = list(train.batches(2, shuffle=True, seed=5, num_workers=3))
+    assert len(inline) == len(threaded) == len(train) // 2
+    import jax
+    for a, b in zip(inline, threaded):
+        for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+            np.testing.assert_array_equal(x, y)
