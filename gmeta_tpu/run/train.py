@@ -240,12 +240,19 @@ class Trainer:
         prof_chunk = 1 if cfg.profile_dir else -1
         chunks_done = 0
 
+        steps_since_save = 0
         for epoch in range(self.start_epoch, cfg.epoch):
             rng = np.random.RandomState(cfg.seed + epoch)
             order = rng.permutation(n_tasks)[:steps_per_epoch * cfg.task_num]
             idx_mat = order.reshape(steps_per_epoch, cfg.task_num)
             win_t = time.time()
-            for start in range(0, steps_per_epoch, window):
+            # Mid-epoch resume: the epoch's step stream is a pure function of
+            # (seed, epoch), so skipping the consumed steps reproduces the
+            # remaining stream. Params depend only on the per-step sequence,
+            # not on how it is chunked into scan windows, so a resumed run's
+            # shifted window boundaries change nothing.
+            skip = self.start_batch if epoch == self.start_epoch else 0
+            for start in range(skip, steps_per_epoch, window):
                 chunk = idx_mat[start:start + window]
                 if chunks_done == prof_chunk:
                     jax.profiler.start_trace(cfg.profile_dir)
@@ -271,6 +278,13 @@ class Trainer:
                     tasks_per_s=round(tasks_per_s, 2),
                     edges_per_s=round(tasks_per_s * mean_edges, 1),
                     rss_gb=rss_gb())
+                steps_since_save += int(chunk.shape[0])
+                if (cfg.checkpoint_every_steps
+                        and steps_since_save >= cfg.checkpoint_every_steps):
+                    # window-granular mid-epoch snapshot: `start + rows`
+                    # steps of this epoch are consumed
+                    self._save(epoch, batch_in_epoch=start + int(chunk.shape[0]))
+                    steps_since_save = 0
 
             curves = self.evaluate("val")
             acc_curve = curves.mean(axis=0)
@@ -334,6 +348,10 @@ def build_datasets(cfg: Config):
         extractor = SubgraphExtractor(
             data.store.graphs, h=cfg.h, sample_nodes=cfg.sample_nodes,
             seed=cfg.seed, cap_strategy=cfg.cap_strategy)
+    # Which backend actually runs matters for throughput debugging: with
+    # extractor="auto" the numpy fallback is silent otherwise.
+    print(f"extractor: {'native C++' if use_native else 'numpy'} "
+          f"(requested {cfg.extractor!r})")
     # input_dim mirrors the reference: derived from the feature width at
     # load (train.py:67); a user-set nonzero value must agree with the data.
     if cfg.input_dim and cfg.input_dim != data.store.feat_dim:

@@ -172,6 +172,51 @@ def test_midepoch_kill_resume_matches_straight_run(tmp_path):
                                    rtol=1e-5, atol=1e-6)
 
 
+def test_device_pool_midepoch_kill_resume(tmp_path):
+    """Same kill-and-resume guarantee for the device-pool path (the bench's
+    recommended fast path): checkpoint at window granularity, resume from the
+    saved in-epoch step position, params match the straight run."""
+    store, ds, cfg = _setup(tmp_path, epochs=2, ckpt=False)
+    cfg = dataclasses.replace(cfg, device_task_pool=True,
+                              train_result_report_steps=1)
+    tr_full = Trainer(dataclasses.replace(cfg, metrics_path=""),
+                      store, ds, labels_num=cfg.n_way)
+    res_full = tr_full.fit()
+
+    cfg_k = dataclasses.replace(
+        cfg, checkpoint_dir=str(tmp_path / "ck_pool"),
+        checkpoint_every_steps=1, metrics_path=str(tmp_path / "mp.jsonl"))
+    tr_k = Trainer(cfg_k, store, ds, labels_num=cfg.n_way)
+
+    class _Kill(Exception):
+        pass
+
+    orig = tr_k.learner.train_steps_from_pool
+    calls = {"n": 0}
+
+    def killing_steps(idx_mat):
+        if calls["n"] == 3:  # abort mid-epoch 2 (window = 1 step)
+            raise _Kill()
+        calls["n"] += 1
+        return orig(idx_mat)
+
+    tr_k.learner.train_steps_from_pool = killing_steps
+    try:
+        tr_k.fit()
+        raise AssertionError("expected _Kill")
+    except _Kill:
+        pass
+
+    tr_r = Trainer(cfg_k, store, ds, labels_num=cfg.n_way)
+    assert tr_r.start_epoch == 1 and tr_r.start_batch == 1, (
+        tr_r.start_epoch, tr_r.start_batch)
+    res_r = tr_r.fit()
+    assert res_r.global_step == res_full.global_step
+    for a, b in zip(tr_full.learner.params, tr_r.learner.params):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_multiworker_stream_matches_inline(tmp_path):
     """num_workers>0 must yield the identical batch sequence as the inline
     path (N producer threads + ordered reassembly)."""
