@@ -38,6 +38,18 @@ class _RawTask:
         self.qry_labels = qry_labels
 
 
+def map_labels(labels: Dict[str, int]) -> tuple:
+    """(mapped_dict, label_to_id): raw label values -> dense ids preserving
+    sorted order (the reference's torch.unique order, meta.py:35,60). When
+    labels are already dense 0..C-1 (every shipped dataset), the dict is
+    returned as-is — no copy."""
+    uniq = sorted(set(labels.values()))
+    label_to_id = {v: i for i, v in enumerate(uniq)}
+    if all(v == i for i, v in enumerate(uniq)):
+        return labels, label_to_id
+    return {k: label_to_id[v] for k, v in labels.items()}, label_to_id
+
+
 class MetaDataset:
     """One split's pre-sampled episodic tasks, ready to stream as TaskBatches."""
 
@@ -47,7 +59,8 @@ class MetaDataset:
                  n_way: int, k_spt: int, k_qry: int, batchsz: int,
                  index_spt: Optional[SplitIndex] = None,
                  index_qry: Optional[SplitIndex] = None,
-                 seed: int = 222):
+                 seed: int = 222,
+                 dense_labels: Optional[tuple] = None):
         self.store = store
         self.extractor = extractor
         self.task_setup = task_setup
@@ -59,10 +72,15 @@ class MetaDataset:
         # prototype rows keep the reference's `torch.unique` (sorted) order
         # (meta.py:35,60). Shared-mode labels are used unmapped by the
         # reference; datasets ship them dense, and this map is then identity.
-        uniq = sorted(set(labels.values()))
-        self.label_to_id = {v: i for i, v in enumerate(uniq)}
-        self.labels = {k: self.label_to_id[v] for k, v in labels.items()}
-        self.num_classes = len(uniq)
+        # `dense_labels` = (mapped_dict, label_to_id) precomputed by the
+        # caller and SHARED across the three split datasets — at
+        # Tree-of-Life scale the label dict has ~70M entries and three
+        # private remapped copies would cost tens of GB (see map_labels).
+        if dense_labels is not None:
+            self.labels, self.label_to_id = dense_labels
+        else:
+            self.labels, self.label_to_id = map_labels(labels)
+        self.num_classes = len(self.label_to_id)
 
         self.sampler = EpisodeSampler(
             task_setup, link_pred_mode, n_way, k_spt, k_qry, batchsz,

@@ -103,6 +103,38 @@ def prepare_node_shared(out_dir: str, graphs: Sequence[CSRGraph],
             _write_csv(os.path.join(fold_dir, f"{mode}.csv"), rows)
 
 
+def prepare_node_shared_tasks(out_dir: str, graphs: Sequence[CSRGraph],
+                              features: Sequence[np.ndarray],
+                              task_labels: Sequence[Sequence[np.ndarray]],
+                              val_graph: int, test_graph: int) -> None:
+    """Tissue-PPI-style multi-task layout: graphs/features at the top level,
+    one `task{n}/` subdirectory per task holding that task's label.pkl +
+    graph-space split CSVs (train.py:50-51 rewrites the data root to
+    root/task{task_n}). `task_labels[t][g]` is graph g's per-node label array
+    for task t (binary protein-function labels in the reference dataset —
+    params printout implies total_class=2, test.ipynb cell 1)."""
+    _write_common(out_dir, graphs, features,
+                  {f"{g}_{n}": int(task_labels[0][g][n])
+                   for g in range(len(graphs))
+                   for n in range(graphs[g].num_nodes)})
+    for t, label_map in enumerate(task_labels):
+        task_dir = os.path.join(out_dir, f"task{t + 1}")
+        os.makedirs(task_dir, exist_ok=True)
+        info = {f"{g}_{n}": int(label_map[g][n])
+                for g in range(len(graphs))
+                for n in range(graphs[g].num_nodes)}
+        with open(os.path.join(task_dir, "label.pkl"), "wb") as f:
+            pickle.dump(info, f)
+        by = {"train": [], "val": [], "test": []}
+        for k, v in info.items():
+            g = int(k.split("_")[0])
+            mode = ("val" if g == val_graph
+                    else "test" if g == test_graph else "train")
+            by[mode].append((k, v))
+        for mode, rows in by.items():
+            _write_csv(os.path.join(task_dir, f"{mode}.csv"), rows)
+
+
 def prepare_link(out_dir: str, pos_edges: Sequence[np.ndarray],
                  num_nodes: Sequence[int],
                  features: Sequence[np.ndarray],

@@ -144,6 +144,102 @@ def build_halo_plan(sg: ShardedGraph, n_shards: int,
                     halo_src=halo_src, M=M)
 
 
+class OverlapPlan(NamedTuple):
+    """Static plan for halo/compute OVERLAP (SURVEY.md §5.7): each shard's
+    edges are split into LOCAL (source row owned by this shard — computable
+    before any communication lands) and REMOTE (source arrives through the
+    boundary all_to_all). The kernel issues the all_to_all first, aggregates
+    local edges while it is in flight, then folds in the remote part — XLA's
+    latency-hiding scheduler overlaps the collective with the local
+    segment-sum because neither depends on the other.
+
+    Shapes: local_* (D, L), remote_* (D, R); send_idx/send_mask (D, D, M)
+    as in HaloPlan; remote_src indexes the flattened (D*M, H) receive table.
+    """
+    local_src: np.ndarray    # (D, L) int32 LOCAL row ids (pad: 0)
+    local_dst: np.ndarray    # (D, L) int32 local dst, nondecreasing (pad: Vb-1)
+    local_mask: np.ndarray   # (D, L) float32
+    remote_src: np.ndarray   # (D, R) int32 into receive table (pad: 0)
+    remote_dst: np.ndarray   # (D, R) int32 local dst, nondecreasing (pad: Vb-1)
+    remote_mask: np.ndarray  # (D, R) float32
+    send_idx: np.ndarray     # (D, D, M) int32 rows p ships to d (pad: 0)
+    send_mask: np.ndarray    # (D, D, M) float32
+    M: int
+
+    @property
+    def comm_rows(self) -> int:
+        """Real boundary rows shipped per layer."""
+        return int(self.send_mask.sum())
+
+    @property
+    def local_edges(self) -> int:
+        return int(self.local_mask.sum())
+
+    @property
+    def remote_edges(self) -> int:
+        return int(self.remote_mask.sum())
+
+
+def build_overlap_plan(sg: ShardedGraph, n_shards: int,
+                       pad_to: int = 8) -> OverlapPlan:
+    """Host-side: split each shard's edge list by source ownership and build
+    the boundary send plan (only p != d pairs ship rows; a shard's own rows
+    never ride the interconnect)."""
+    D, Vb = n_shards, sg.Vb
+    needs: List[List[np.ndarray]] = [[np.zeros(0, np.int64)] * D
+                                     for _ in range(D)]
+    per_shard = []
+    for d in range(D):
+        k = int(sg.edge_mask[d].sum())
+        srcs = sg.edge_src[d, :k].astype(np.int64)   # GLOBAL src ids
+        dsts = sg.edge_dst[d, :k].astype(np.int64)   # already LOCAL dst ids
+        owners = srcs // Vb
+        loc = owners == d
+        per_shard.append((srcs, dsts, owners, loc))
+        for p in range(D):
+            if p != d:
+                needs[p][d] = np.unique(srcs[owners == p]) - p * Vb
+    M = max((len(needs[p][d]) for p in range(D) for d in range(D)), default=0)
+    M = max(((M + pad_to - 1) // pad_to) * pad_to, pad_to)
+    L = max((int(loc.sum()) for _, _, _, loc in per_shard), default=0)
+    R = max((int((~loc).sum()) for _, _, _, loc in per_shard), default=0)
+    L = max(((L + pad_to - 1) // pad_to) * pad_to, pad_to)
+    R = max(((R + pad_to - 1) // pad_to) * pad_to, pad_to)
+
+    local_src = np.zeros((D, L), np.int32)
+    local_dst = np.full((D, L), Vb - 1, np.int32)
+    local_mask = np.zeros((D, L), np.float32)
+    remote_src = np.zeros((D, R), np.int32)
+    remote_dst = np.full((D, R), Vb - 1, np.int32)
+    remote_mask = np.zeros((D, R), np.float32)
+    send_idx = np.zeros((D, D, M), np.int32)
+    send_mask = np.zeros((D, D, M), np.float32)
+    for p in range(D):
+        for d in range(D):
+            n = len(needs[p][d])
+            send_idx[p, d, :n] = needs[p][d]
+            send_mask[p, d, :n] = 1.0
+    for d in range(D):
+        srcs, dsts, owners, loc = per_shard[d]
+        nl = int(loc.sum())
+        local_src[d, :nl] = srcs[loc] - d * Vb
+        local_dst[d, :nl] = dsts[loc]
+        local_mask[d, :nl] = 1.0
+        rem = ~loc
+        nr = int(rem.sum())
+        pos = np.empty(nr, np.int64)
+        r_src, r_own = srcs[rem], owners[rem]
+        for p in range(D):
+            sel = r_own == p
+            pos[sel] = p * M + np.searchsorted(needs[p][d], r_src[sel] - p * Vb)
+        remote_src[d, :nr] = pos
+        remote_dst[d, :nr] = dsts[rem]
+        remote_mask[d, :nr] = 1.0
+    return OverlapPlan(local_src, local_dst, local_mask,
+                       remote_src, remote_dst, remote_mask,
+                       send_idx, send_mask, M)
+
+
 def make_full_graph_forward(layer_dims: Sequence[Tuple[int, int]],
                             mesh: Mesh, n_shards: int, Vb: int,
                             halo: str = "all_gather", M: int = 0):

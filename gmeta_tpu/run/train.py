@@ -366,6 +366,10 @@ def build_datasets(cfg: Config):
     # its splits never sample identical episode sequences; identical seeds
     # here would correlate val and test episodes.
     salt = {"train": 0, "val": 101, "test": 202}
+    # One shared dense-label map across the three splits (tens of GB saved
+    # at Tree-of-Life scale vs three private remapped copies).
+    from gmeta_tpu.data.pipeline import map_labels
+    dense = map_labels(data.labels)
     for mode in ("train", "val", "test"):
         split = data.splits[mode]
         datasets[mode] = MetaDataset(
@@ -374,7 +378,7 @@ def build_datasets(cfg: Config):
             n_way=cfg.n_way, k_spt=cfg.k_spt, k_qry=cfg.k_qry,
             batchsz=cfg.batchsz if mode == "train" else cfg.eval_batchsz,
             index_spt=split.get("spt"), index_qry=split.get("qry"),
-            seed=cfg.seed + salt[mode])
+            seed=cfg.seed + salt[mode], dense_labels=dense)
     # output dim: Disjoint -> n_way; Shared -> total class count
     # (train.py:58-61)
     labels_num = cfg.n_way if cfg.task_setup == "Disjoint" else data.total_class
