@@ -1,13 +1,31 @@
-"""Benchmark: steady-state meta-training throughput (tasks/s) on an
-arxiv-ogbn-shaped workload, vs the reference's measured 6.5 tasks/s
-(test.ipynb cell 0: ~4.9 s per 32-task step on one GPU; BASELINE.md row 1).
+"""Benchmark: steady-state meta-training throughput on ALL FIVE reference
+recipe shapes, vs the reference's measured per-recipe throughput
+(test.ipynb cells 0-4; BASELINE.md).
 
-Workload mirrors the arxiv recipe's compute shape (G-Meta/README.md:69-80):
-Disjoint 3-way, k_spt=3, k_qry=24, h=2 (2 GCN layers), hidden 256,
-sample_nodes-capped subgraphs. Synthetic graph stands in for the dataset
-download; compute/memory shape per task matches (subgraphs at the node cap).
+Each shape mirrors its recipe's compute geometry (episode structure,
+hidden width, update steps, feature width) with a synthetic graph sized so
+subgraph extraction behaves like the real dataset — the arxiv shape's
+2-hop neighborhoods EXCEED the sample_nodes=1000 cap (the reference's
+dominant regime, subgraph_data_processing.py:312-314), so support buckets
+pack at P=1024, unlike the undersized r01/r02 bench (flagged in VERDICT
+r1/r2).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Per shape the JSON carries:
+- tasks_per_s and vs_baseline against that recipe's own BASELINE.md row
+- edges_per_s: REAL (unpadded) graph edges ingested per second
+- mfu: measured FLOPs/s over the v5e chip's 197 TFLOP/s bf16 peak, with
+  FLOPs taken from XLA's own cost analysis of the compiled step (not a
+  hand model) — this is the honest "fast vs the chip" number; the dense
+  block-diagonal path trades padding FLOPs for MXU regularity, so its MFU
+  overstates useful work by the padding factor reported as `pad_waste`.
+- compile_s: compile+first-dispatch time (r02 recorded an unexplained
+  978 s compile; tracking it per shape makes a recurrence visible).
+
+Also benches extraction: the jitted device-side extractor
+(data/device_extract.py) vs the C++ host engine on the arxiv-shaped graph.
+
+Prints ONE JSON line. Headline metric stays the arxiv-shape tasks/s
+(continuity with BENCH_r01/r02); per-shape results are under "shapes".
 """
 
 from __future__ import annotations
@@ -18,94 +36,190 @@ import time
 
 import numpy as np
 
-BASELINE_TASKS_PER_S = 6.5
+PEAK_FLOPS_BF16 = 197e12   # TPU v5e (v5litepod) peak bf16 FLOP/s
+MEASURE_STEPS = 16
+POOL = 48
 
-# Sized so 2-hop neighborhoods hit the sample_nodes cap like arxiv does,
-# while extraction + compile stay within a few minutes.
-GRAPH_NODES = 30_000
-AVG_DEGREE = 16
-FEAT_DIM = 128
-HIDDEN = 256
-N_WAY, K_SPT, K_QRY = 3, 3, 24
-SAMPLE_NODES = 1000
-TASK_POOL = 48
-TASK_NUM = 8          # tasks per jitted meta-step (vmap width)
-UPDATE_STEP = 10      # arxiv recipe (README.md:69-80)
-WARMUP_STEPS = 2
-MEASURE_STEPS = 32    # scanned on device: one dispatch for all of them
+# Per-recipe baselines: tasks/s from BASELINE.md (task_num / step time).
+SHAPES = {
+    "arxiv": dict(kind="disjoint", baseline=6.5, nodes=170_000, deg=28,
+                  feat=128, hidden=256, classes=15, n_way=3, k_spt=3,
+                  k_qry=24, update_step=10, task_num=32, sample_nodes=1000),
+    "tissue_ppi": dict(kind="shared", baseline=7.3, graphs=4, nodes=4_000,
+                       deg=30, feat=50, hidden=128, classes=2, k_spt=3,
+                       k_qry=10, update_step=10, task_num=4,
+                       sample_nodes=1000),
+    "fold_ppi": dict(kind="disjoint", baseline=4.3, nodes=30_000, deg=24,
+                     feat=512, hidden=128, classes=15, n_way=3, k_spt=3,
+                     k_qry=24, update_step=5, task_num=16,
+                     sample_nodes=1000),
+    "firstmm_db": dict(kind="link", baseline=12.3, graphs=4, nodes=1_350,
+                       deg=6, feat=5, hidden=128, k_spt=16, k_qry=32,
+                       update_step=10, task_num=8, sample_nodes=1000),
+    "tree_of_life": dict(kind="link", baseline=11.1, graphs=4, nodes=2_900,
+                         deg=14, feat=1, hidden=256, k_spt=16, k_qry=16,
+                         update_step=10, task_num=8, sample_nodes=1000),
+}
 
 
-def main() -> None:
+def _build_dataset(name, s):
+    from gmeta_tpu.data.synthetic import (synthetic_disjoint,
+                                          synthetic_link_pred,
+                                          synthetic_shared)
+    if s["kind"] == "disjoint":
+        store, ds = synthetic_disjoint(
+            num_graphs=1, nodes_per_graph=s["nodes"], avg_degree=s["deg"],
+            feat_dim=s["feat"], num_classes=s["classes"], n_way=s["n_way"],
+            k_spt=s["k_spt"], k_qry=s["k_qry"], batchsz=POOL, h=2,
+            sample_nodes=s["sample_nodes"], seed=7)
+        n_out = s["n_way"]
+    elif s["kind"] == "shared":
+        store, ds = synthetic_shared(
+            num_graphs=s["graphs"], nodes_per_graph=s["nodes"],
+            avg_degree=s["deg"], feat_dim=s["feat"],
+            num_classes=s["classes"], k_spt=s["k_spt"], k_qry=s["k_qry"],
+            batchsz=POOL, h=2, sample_nodes=s["sample_nodes"], seed=7)
+        n_out = s["classes"]
+    else:
+        store, ds = synthetic_link_pred(
+            num_graphs=s["graphs"], nodes_per_graph=s["nodes"],
+            avg_degree=s["deg"], feat_dim=s["feat"], k_spt=s["k_spt"],
+            k_qry=s["k_qry"], batchsz=POOL,
+            sample_nodes=s["sample_nodes"], seed=7)
+        n_out = 2
+    return store, ds["train"], n_out
+
+
+def bench_shape(name: str, s: dict) -> dict:
     import jax
+    import jax.numpy as jnp
 
     from gmeta_tpu.config import Config, build_model_config
-    from gmeta_tpu.data.synthetic import synthetic_disjoint
     from gmeta_tpu.meta.maml import MetaLearner
 
     t0 = time.time()
-    store, ds = synthetic_disjoint(
-        num_graphs=1, nodes_per_graph=GRAPH_NODES, avg_degree=AVG_DEGREE,
-        feat_dim=FEAT_DIM, num_classes=15, n_way=N_WAY, k_spt=K_SPT,
-        k_qry=K_QRY, batchsz=TASK_POOL, h=2, sample_nodes=SAMPLE_NODES,
-        seed=7, class_signal=2.0)
-    train = ds["train"]
-    print(f"# data: {time.time()-t0:.1f}s  buckets P_spt={train.P_spt} "
-          f"E_spt={train.E_spt} P_qry={train.P_qry} E_qry={train.E_qry}",
-          file=sys.stderr)
+    store, train, n_out = _build_dataset(name, s)
+    data_s = time.time() - t0
+    print(f"# {name}: data {data_s:.1f}s buckets spt(P={train.P_spt},"
+          f"B={train.B_spt},E={train.E_spt}) qry(P={train.P_qry},"
+          f"B={train.B_qry},E={train.E_qry})", file=sys.stderr)
 
-    cfg = Config(n_way=N_WAY, k_spt=K_SPT, k_qry=K_QRY, h=2, hidden_dim=HIDDEN)
-    spec = build_model_config(cfg, store.feat_dim, cfg.n_way)
-    # remat=False: jax.checkpoint around the scanned inner step explodes
-    # XLA compile time (>10 min) at these shapes and memory fits without it.
-    # bf16 compute / f32 accumulate+params: the TPU idiom (SURVEY.md §5.8).
-    # track_curve=False: skip the per-inner-step query telemetry evals —
-    # meta-gradients are bitwise the subject of tests/test_meta.py's
-    # equivalence check; the trained model is identical, the reference's
-    # per-step accuracy curve is optional telemetry here (config flag
-    # track_train_curve).
-    import jax.numpy as jnp
-    ml = MetaLearner(spec, cfg.n_way, update_lr=0.01, meta_lr=1e-3,
-                     update_step=UPDATE_STEP, update_step_test=UPDATE_STEP,
+    cfg = Config(h=2, hidden_dim=s["hidden"],
+                 link_pred_mode=(s["kind"] == "link"),
+                 task_setup="Shared" if s["kind"] != "disjoint" else "Disjoint")
+    spec = build_model_config(cfg, store.feat_dim, n_out)
+    ml = MetaLearner(spec, n_out, update_lr=0.01, meta_lr=1e-3,
+                     update_step=s["update_step"],
+                     update_step_test=s["update_step"],
                      remat=False, compute_dtype=jnp.bfloat16, seed=0,
                      track_curve=False)
     ml.set_features(store.features)
-
-    # Device-resident task pool: one-time transfer; each step ships only the
-    # task indices (the tunnel-tolerant, TPU-native input path).
     ml.set_task_pool(train.stacked_pool())
+
     rng = np.random.RandomState(0)
-    idx_stream = [rng.choice(TASK_POOL, TASK_NUM, replace=False)
-                  for _ in range(WARMUP_STEPS + MEASURE_STEPS)]
+    idx_mat = jnp.asarray(np.stack([
+        rng.choice(POOL, s["task_num"], replace=False)
+        for _ in range(MEASURE_STEPS)]), dtype=jnp.int32)
 
-    # Multi-meta-step scan: MEASURE_STEPS meta-steps run as ONE dispatch
-    # (lax.scan over the index matrix, params carried on device) — dispatch
-    # latency through the tunnel is amortized to zero, which is also how a
-    # production epoch loop would run (train_steps_from_pool).
-    meas = np.stack(idx_stream[WARMUP_STEPS:])
-
-    # Warmup MUST use the same (K, task_num) shape as the measured call —
-    # a different K compiles a different scan program.
-    # NOTE: block_until_ready is a no-op on the tunneled axon backend; a
-    # host value fetch is the only reliable synchronization point.
+    # AOT compile: exact FLOPs from XLA's cost analysis + compile timing
     t0 = time.time()
-    m = ml.train_steps_from_pool(meas)
-    float(np.asarray(m["meta_loss"])[-1])
-    print(f"# compile+warmup: {time.time()-t0:.1f}s", file=sys.stderr)
+    lowered = ml._train_many_pool.lower(
+        ml.params, ml.opt_state, ml._pool, idx_mat, ml._feats)
+    compiled = lowered.compile()
+    try:
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops_total = float(ca.get("flops", 0.0))
+    except Exception:  # noqa: BLE001 — backend without cost analysis
+        flops_total = 0.0
+    # warmup dispatch (buffers, caches); host fetch is the only reliable
+    # sync point through the tunnel
+    out = compiled(ml.params, ml.opt_state, ml._pool, idx_mat, ml._feats)
+    float(np.asarray(out[2]["meta_loss"])[-1])
+    compile_s = time.time() - t0
 
     t0 = time.time()
-    m = ml.train_steps_from_pool(meas)
-    float(np.asarray(m["meta_loss"])[-1])  # sync
+    out = compiled(ml.params, ml.opt_state, ml._pool, idx_mat, ml._feats)
+    float(np.asarray(out[2]["meta_loss"])[-1])
     dt = time.time() - t0
 
-    tasks_per_s = MEASURE_STEPS * TASK_NUM / dt
-    print(f"# {MEASURE_STEPS} steps x {TASK_NUM} tasks in {dt:.2f}s; "
-          f"final acc {float(np.asarray(m['accs'])[-1, -1]):.3f}",
-          file=sys.stderr)
+    tasks_per_s = MEASURE_STEPS * s["task_num"] / dt
+    mean_edges = train.mean_edges_per_task
+    # padding waste of the dense aggregation: MAC slots vs real edges
+    slots = (train.B_spt * train.P_spt ** 2 + train.B_qry * train.P_qry ** 2)
+    pad_waste = slots / max(mean_edges, 1.0)
+    return {
+        "tasks_per_s": round(tasks_per_s, 2),
+        "vs_baseline": round(tasks_per_s / s["baseline"], 2),
+        "edges_per_s": round(tasks_per_s * mean_edges, 1),
+        "mfu": round(flops_total / dt / PEAK_FLOPS_BF16, 4),
+        "pad_waste": round(pad_waste, 1),
+        "compile_s": round(compile_s, 1),
+        "step_s": round(dt / MEASURE_STEPS, 4),
+        "buckets": {"P_spt": train.P_spt, "B_spt": train.B_spt,
+                    "E_spt": train.E_spt, "P_qry": train.P_qry,
+                    "B_qry": train.B_qry, "E_qry": train.E_qry},
+    }
+
+
+def bench_extraction() -> dict:
+    """Device-side jitted extractor vs the C++ host engine, arxiv-shaped
+    graph (VERDICT r2 item 3 'Done' criterion)."""
+    from gmeta_tpu.data.device_extract import DeviceExtractor
+    from gmeta_tpu.data import native
+    from gmeta_tpu.data.graph import synthetic_store
+
+    store, _ = synthetic_store(1, 170_000, 28, 8, 3, seed=3)
+    g = store.graphs[0]
+    rng = np.random.RandomState(0)
+    C, ROUNDS = 64, 4
+    centers = rng.randint(0, g.num_nodes, size=(ROUNDS, C)).astype(np.int64)
+
+    dev = DeviceExtractor(g, h=2, sample_nodes=1000, set_cap=1 << 16,
+                          hop_budget=1 << 18, edge_budget=1 << 17,
+                          edge_out=1 << 15, seed=0)
+    out = dev.extract_arrays(centers[0])          # compile + warm
+    np.asarray(out.n_nodes)
+    t0 = time.time()
+    for r in range(ROUNDS):
+        out = dev.extract_arrays(centers[r])
+        np.asarray(out.n_nodes)                   # sync
+    dev_rate = ROUNDS * C / (time.time() - t0)
+
+    res = {"device_extract_per_s": round(dev_rate, 1)}
+    if native.available():
+        nat = native.NativeSubgraphExtractor([g], h=2, sample_nodes=1000,
+                                             seed=0, n_threads=2)
+        t0 = time.time()
+        nat.extract_many([f"0_{c}" for c in centers.ravel()])
+        res["native_extract_per_s"] = round(
+            ROUNDS * C / (time.time() - t0), 1)
+    return res
+
+
+def main() -> None:
+    shapes = {}
+    for name, s in SHAPES.items():
+        try:
+            shapes[name] = bench_shape(name, s)
+        except Exception as e:  # noqa: BLE001 — record, keep benching
+            shapes[name] = {"error": f"{type(e).__name__}: {e}"[:200]}
+        print(f"# {name}: {shapes[name]}", file=sys.stderr)
+
+    try:
+        extraction = bench_extraction()
+    except Exception as e:  # noqa: BLE001
+        extraction = {"error": f"{type(e).__name__}: {e}"[:200]}
+    print(f"# extraction: {extraction}", file=sys.stderr)
+
+    arxiv = shapes.get("arxiv", {})
     print(json.dumps({
         "metric": "meta_train_tasks_per_s",
-        "value": round(tasks_per_s, 2),
+        "value": arxiv.get("tasks_per_s", 0.0),
         "unit": "tasks/s",
-        "vs_baseline": round(tasks_per_s / BASELINE_TASKS_PER_S, 2),
+        "vs_baseline": arxiv.get("vs_baseline", 0.0),
+        "shapes": shapes,
+        "extraction": extraction,
     }))
 
 

@@ -66,6 +66,11 @@ class Config:
                                         # (telemetry only, meta.py:129-157;
                                         # False trains identically ~2x faster)
     extractor: str = "auto"             # 'auto' | 'native' | 'numpy' host extraction
+    agg: str = "auto"                   # aggregation kernel: 'auto' picks per
+                                        # split from bin-fill stats
+                                        # (pipeline.suggested_agg); 'dense' =
+                                        # XLA batched matmul; 'sized' = Pallas
+                                        # size-aware SpMM (ops/pallas_spmm)
     cap_strategy: str = "uniform"       # subgraph node-cap: 'uniform' (reference
                                         # parity, subgraph_data_processing.py:312-314)
                                         # | 'degree' (centrality-scored keep-top-k)
@@ -90,6 +95,7 @@ class Config:
         assert self.h in (1, 2, 3), "h must be 1, 2 or 3 (reference supports only these)"
         assert self.k_spt >= 1 and self.k_qry >= 1 and self.n_way >= 2
         assert self.cap_strategy in ("uniform", "degree"), self.cap_strategy
+        assert self.agg in ("auto", "dense", "sized"), self.agg
         assert self.update_step >= 1 and self.update_step_test >= 1
         if self.link_pred_mode:
             assert self.task_setup == "Shared", "link prediction uses the Shared setup"

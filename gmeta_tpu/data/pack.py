@@ -52,6 +52,10 @@ class SubgraphSet(NamedTuple):
     centers: np.ndarray     # (S, 2) int32 flat center slots (col 1 = col 0
                             #   for node tasks; second endpoint for link tasks)
     labels: np.ndarray      # (S,) int32
+    bin_fill: np.ndarray = None  # (B,) int32 live node rows per bin (rows
+                            #   [0, fill) are real; the rest padding). Feeds
+                            #   the size-aware Pallas SpMM (ops/pallas_spmm)
+                            #   which skips dead 128x128 tiles entirely.
 
     @property
     def num_subgraphs(self) -> int:
@@ -154,7 +158,8 @@ def pack_set(subs: Sequence[Subgraph], graph_idxs: Sequence[int],
     return SubgraphSet(node_gid=node_gid, node_mask=node_mask,
                        edge_src=edge_src, edge_dst=edge_dst,
                        edge_mask=edge_mask, centers=centers,
-                       labels=np.asarray(labels, dtype=np.int32))
+                       labels=np.asarray(labels, dtype=np.int32),
+                       bin_fill=np.asarray(fill, dtype=np.int32))
 
 
 def pack_task(spt_subs, spt_graphs, spt_labels,

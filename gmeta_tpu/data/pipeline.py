@@ -168,6 +168,29 @@ class MetaDataset:
         return len(self.tasks)
 
     @property
+    def mean_bin_fill(self) -> float:
+        """Mean live-node fraction of the packed bins across tasks (both
+        sets), counting the split-global B (pad bins included). Near 1.0
+        when FFD packs tight; low under high task-size variance."""
+        tot_live = sum(sum(s.num_nodes for s in t.spt_subs)
+                       + sum(s.num_nodes for s in t.qry_subs)
+                       for t in self.tasks)
+        slots = len(self.tasks) * (self.B_spt * self.P_spt
+                                   + self.B_qry * self.P_qry)
+        return tot_live / max(slots, 1)
+
+    @property
+    def suggested_agg(self) -> str:
+        """Static aggregation-kernel choice for this split (models/gcn.py
+        `agg`): the size-aware Pallas kernel skips dead 128x128 tiles, so
+        it wins once >~20% of bin slots are padding; the plain XLA batched
+        matmul wins on near-full bins (no per-tile control overhead).
+        Decision is per-split (one compiled program either way)."""
+        if self.P_spt % 128 or self.P_qry % 128:
+            return "dense"
+        return "sized" if self.mean_bin_fill < 0.8 else "dense"
+
+    @property
     def mean_edges_per_task(self) -> float:
         """Mean REAL (unpadded) spt+qry edges per task — the basis of the
         edges/s throughput metric (edges ingested per second of training)."""

@@ -45,7 +45,7 @@ def make_inner_loop(layer_spec: Sequence[Tuple[str, tuple]],
                     proto_classes: int, update_lr: float,
                     num_steps: int, first_order: bool = True,
                     compute_dtype=jnp.float32, remat: bool = False,
-                    track_curve: bool = True):
+                    track_curve: bool = True, agg: str = "dense"):
     """Returns inner_loop(params, task: TaskBatch, feats) ->
     (meta_loss, InnerAux). meta_loss is the LAST-step query loss
     (meta.py:161); the accuracy curve has num_steps+1 entries with entry 0
@@ -66,14 +66,16 @@ def make_inner_loop(layer_spec: Sequence[Tuple[str, tuple]],
 
         def _spt(w):
             logits = forward(w, task.spt, feats, layer_spec,
-                             dense=dense_spt, compute_dtype=compute_dtype)
+                             dense=dense_spt, compute_dtype=compute_dtype,
+                             agg=agg)
             loss, acc, protos = proto_loss_spt(
                 logits, task.spt.labels, proto_classes)
             return loss, (acc, protos)
 
         def _qry(w, protos):
             logits = forward(w, task.qry, feats, layer_spec,
-                             dense=dense_qry, compute_dtype=compute_dtype)
+                             dense=dense_qry, compute_dtype=compute_dtype,
+                             agg=agg)
             return proto_loss_qry(logits, task.qry.labels, protos)
 
         def step(w, _):
@@ -133,7 +135,7 @@ class MetaLearner:
                  update_step: int, update_step_test: int,
                  first_order: bool = True, compute_dtype=jnp.float32,
                  remat: bool = False, seed: int = 222,
-                 mesh=None, track_curve: bool = True):
+                 mesh=None, track_curve: bool = True, agg: str = "dense"):
         self.layer_spec = layer_spec
         self.params = init_params(jax.random.PRNGKey(seed), layer_spec)
         self.tx = optax.adam(meta_lr)  # torch.optim.Adam defaults (meta.py:97)
@@ -143,10 +145,11 @@ class MetaLearner:
         train_inner = make_inner_loop(
             layer_spec, proto_classes, update_lr, update_step,
             first_order=first_order, compute_dtype=compute_dtype, remat=remat,
-            track_curve=track_curve)
+            track_curve=track_curve, agg=agg)
         test_inner = make_inner_loop(
             layer_spec, proto_classes, update_lr, update_step_test,
-            first_order=first_order, compute_dtype=compute_dtype, remat=remat)
+            first_order=first_order, compute_dtype=compute_dtype, remat=remat,
+            agg=agg)
 
         def meta_loss_fn(params, batch: TaskBatch, feats):
             losses, aux = jax.vmap(

@@ -100,12 +100,22 @@ def precompute(sg: SubgraphSet, compute_dtype=jnp.float32,
 def forward(params, sg: SubgraphSet, feats: jnp.ndarray,
             layer_spec: Sequence[Tuple[str, tuple]],
             dense: DenseGraph = None,
-            compute_dtype=jnp.float32) -> jnp.ndarray:
+            compute_dtype=jnp.float32,
+            agg: str = "dense") -> jnp.ndarray:
     """Logits (S, out) for one packed subgraph set.
 
     `feats` is the global packed feature table; the gather by node_gid
     replaces the reference's host-side per-task np.vstack feature gather
     (meta.py:119-120).
+
+    `agg` selects the aggregation kernel (a STATIC, per-compile choice the
+    caller makes from split-level bucket statistics, pipeline.py):
+    - "dense": XLA batched matmul over full (P, P) blocks — best when FFD
+      bins pack near-full (the common case; pack.py).
+    - "sized": the Pallas size-aware kernel (ops/pallas_spmm) that skips
+      row/column tiles beyond each bin's live fill — wins when bins run
+      underfull (high task-size variance under a split-global B, e.g.
+      Shared-mode small-class fallback episodes).
     """
     link_pred = layer_spec[-1][0] == "LinkPred"
     B, P = sg.node_gid.shape[-2:]
@@ -113,6 +123,21 @@ def forward(params, sg: SubgraphSet, feats: jnp.ndarray,
     if dense is None:
         dense = precompute(sg, compute_dtype)
     A, norm = dense.A, dense.norm
+
+    if agg == "sized":
+        from gmeta_tpu.ops.pallas_spmm import aggregate_sized, sized_reference
+        sizes = sg.bin_fill.astype(jnp.int32)
+        if jax.default_backend() == "tpu":
+            def _aggregate(A_, h_):
+                return aggregate_sized(A_, h_, sizes)
+        else:
+            # pallas interpret mode can't batch scalar-prefetch calls under
+            # vmap+grad; the masked-matmul reference is semantics-identical
+            def _aggregate(A_, h_):
+                return sized_reference(A_, h_, sizes)
+    else:
+        def _aggregate(A_, h_):
+            return aggregate_dense(A_, h_)
 
     # (B, P, F) gather from the global feature table — replaces the
     # reference's host-side per-task np.vstack (meta.py:119-120). Reuses the
@@ -135,9 +160,9 @@ def forward(params, sg: SubgraphSet, feats: jnp.ndarray,
         if fan_in > fan_out:
             h = jnp.dot(h, w,
                         preferred_element_type=jnp.float32).astype(compute_dtype)
-            h = aggregate_dense(A, h).astype(compute_dtype)
+            h = _aggregate(A, h).astype(compute_dtype)
         else:
-            h = aggregate_dense(A, h).astype(compute_dtype)
+            h = _aggregate(A, h).astype(compute_dtype)
             h = jnp.dot(h, w,
                         preferred_element_type=jnp.float32).astype(compute_dtype)
         h = h * norm + b

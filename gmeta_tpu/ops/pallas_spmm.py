@@ -153,12 +153,41 @@ def _call(kernel, A, x, sizes, interpret):
     )(sizes, A, x)
 
 
+def sized_reference(A, h, sizes):
+    """Pure-jax semantics of aggregate_sized (row-masked A @ h): the
+    non-TPU stand-in for the production dispatch (models/gcn.py uses it
+    when the backend is not TPU — pallas interpret mode does not support
+    vmap+grad through scalar-prefetch calls, and the CPU test mesh needs
+    the full inner loop to run). Kernel==reference equivalence is locked
+    by the interpret-mode tests in tests/test_pallas.py."""
+    P = A.shape[-2]
+    out = jax.lax.dot_general(
+        A, h, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    mask = (jnp.arange(P)[None, :] < sizes[:, None]).astype(out.dtype)
+    return out * mask[..., None]
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def aggregate_sized(A, h, sizes, interpret=False):
     """(S, P, H) = A @ h with per-subgraph live sizes; tiles beyond
     ceil(sizes[s]/128) are skipped (no FLOPs, no HBM reads). A is
-    non-differentiable data (edge structure)."""
+    non-differentiable data (edge structure).
+
+    Differentiable to ANY order: the op is linear in h, and its vjp is the
+    transpose kernel wrapped in its own custom_vjp whose vjp is this
+    function again (mutual recursion). Without that, the MAML outer grad —
+    which differentiates THROUGH the inner loop's vjp (the prototype path)
+    — would hit the raw pallas_call behind a one-shot custom_vjp and fail
+    with the pallas jvp NotImplementedError."""
     return _call(_fwd_kernel, A, h, sizes, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def aggregate_sized_t(A, g, sizes, interpret=False):
+    """(S, P, H) = A^T @ g with the same tile skipping (the SpMM transpose
+    the reference gets from torch autograd, meta.py:125,149)."""
+    return _call(_bwd_kernel, A, g, sizes, interpret)
 
 
 def _fwd(A, h, sizes, interpret):
@@ -167,7 +196,17 @@ def _fwd(A, h, sizes, interpret):
 
 def _bwd(interpret, res, g):
     A, sizes = res
-    return (None, _call(_bwd_kernel, A, g, sizes, interpret), None)
+    return (None, aggregate_sized_t(A, g, sizes, interpret), None)
+
+
+def _fwd_t(A, g, sizes, interpret):
+    return _call(_bwd_kernel, A, g, sizes, interpret), (A, sizes)
+
+
+def _bwd_t(interpret, res, t):
+    A, sizes = res
+    return (None, aggregate_sized(A, t, sizes, interpret), None)
 
 
 aggregate_sized.defvjp(_fwd, _bwd)
+aggregate_sized_t.defvjp(_fwd_t, _bwd_t)

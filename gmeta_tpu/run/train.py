@@ -59,13 +59,19 @@ class Trainer:
         self.spec = build_model_config(cfg, store.feat_dim, labels_num)
         compute_dtype = (jnp.bfloat16 if cfg.dtype == "bfloat16"
                          else jnp.float32)
+        agg = cfg.agg
+        if agg == "auto":
+            agg = datasets["train"].suggested_agg
+            self.metrics.echo_line(
+                f"agg kernel: {agg} (bin fill "
+                f"{datasets['train'].mean_bin_fill:.2f})")
         self.learner = MetaLearner(
             self.spec, labels_num,
             update_lr=cfg.update_lr, meta_lr=cfg.meta_lr,
             update_step=cfg.update_step, update_step_test=cfg.update_step_test,
             first_order=cfg.first_order, compute_dtype=compute_dtype,
             remat=cfg.remat_inner, seed=cfg.seed, mesh=mesh,
-            track_curve=cfg.track_train_curve)
+            track_curve=cfg.track_train_curve, agg=agg)
         self.learner.set_features(store.features)
         self.metrics.echo_line(
             f"Total trainable tensors: {count_params(self.learner.params)}")

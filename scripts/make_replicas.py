@@ -173,14 +173,28 @@ def _link_recipe(out: str, n_graphs: int, n: int, feat_dim: int,
                                hub_alpha=0.8, rng=rng)
         pos_edges.append(pairs)
         num_nodes.append(n)
+        deg = np.zeros(n)
+        np.add.at(deg, pairs[:, 0], 1.0)
+        np.add.at(deg, pairs[:, 1], 1.0)
         if feature_kind == "degree":
             # ToL ships a single scalar feature; use normalized degree
-            deg = np.zeros(n)
-            np.add.at(deg, pairs[:, 0], 1.0)
-            np.add.at(deg, pairs[:, 1], 1.0)
             feats.append((deg[:, None] / max(deg.max(), 1.0)).astype(np.float32))
         else:
-            feats.append(rng.randn(n, feat_dim).astype(np.float32))
+            # FirstMM's 5 features are mesh/point-cloud summaries; the
+            # stand-in is structural summaries. The degree channels are the
+            # load-bearing link signal an additive endpoint head can use:
+            # a random positive EDGE's endpoints are degree-biased
+            # (E[deg^2]/E[deg]) while negative endpoints are ~uniform, so
+            # pos/neg differ in FEATURE MEAN — the same mechanism that
+            # makes the real ToL (degree-features) recipe learnable.
+            i = np.arange(n)
+            feats.append(np.stack([
+                deg / max(deg.max(), 1.0),
+                np.log1p(deg) / max(np.log1p(deg).max(), 1.0),
+                np.sin(2 * np.pi * i / n),
+                np.cos(2 * np.pi * i / n),
+                0.3 * rng.randn(n),
+            ], axis=1).astype(np.float32))
     prepare_link(out, pos_edges, num_nodes, feats,
                  training_edges_fraction=0.3, val_frac=0.1, seed=seed)
     return dict(graphs=n_graphs, nodes=n_graphs * n,
@@ -190,8 +204,8 @@ def _link_recipe(out: str, n_graphs: int, n: int, feat_dim: int,
 def make_firstmm_db(out: str, seed=3):
     # FirstMM-DB: 41 object graphs, ~1.4k nodes, sparse (3D meshes), 5-dim
     return _link_recipe(out, n_graphs=41, n=1_350, feat_dim=5,
-                        local_k=2, hub_deg=1.6, seed=seed,
-                        feature_kind="random")
+                        local_k=2, hub_deg=2.0, seed=seed,
+                        feature_kind="structural")
 
 
 def make_tree_of_life(out: str, seed=4):
