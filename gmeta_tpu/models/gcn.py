@@ -101,7 +101,8 @@ def forward(params, sg: SubgraphSet, feats: jnp.ndarray,
             layer_spec: Sequence[Tuple[str, tuple]],
             dense: DenseGraph = None,
             compute_dtype=jnp.float32,
-            agg: str = "dense") -> jnp.ndarray:
+            agg: str = "dense",
+            collect: list = None) -> jnp.ndarray:
     """Logits (S, out) for one packed subgraph set.
 
     `feats` is the global packed feature table; the gather by node_gid
@@ -131,8 +132,9 @@ def forward(params, sg: SubgraphSet, feats: jnp.ndarray,
             def _aggregate(A_, h_):
                 return aggregate_sized(A_, h_, sizes)
         else:
-            # pallas interpret mode can't batch scalar-prefetch calls under
-            # vmap+grad; the masked-matmul reference is semantics-identical
+            # off-TPU the kernel only exists in (slow) interpret mode; the
+            # masked-matmul reference is semantics-identical on packed data
+            # (tests/test_pallas.py locks kernel==reference equivalence)
             def _aggregate(A_, h_):
                 return sized_reference(A_, h_, sizes)
     else:
@@ -167,6 +169,10 @@ def forward(params, sg: SubgraphSet, feats: jnp.ndarray,
                         preferred_element_type=jnp.float32).astype(compute_dtype)
         h = h * norm + b
         h = jax.nn.relu(h)
+        if collect is not None:
+            # per-layer activation capture for oracle-parity checks
+            # (scripts/run_parity.py); no-op in production paths
+            collect.append(h)
         if li == len(gcn_layers) - 1:
             h = h.reshape(B * P, -1)
             if link_pred:

@@ -18,7 +18,9 @@ prefetch and:
 
 Effective speedup ~ (P / n_s)^2 per subgraph. Backward (A^T @ g — the SpMM
 transpose the reference gets from torch autograd, meta.py:125,149) is the
-same structure contracting over rows, wired via custom_vjp.
+same structure contracting over rows. Both directions are registered as
+first-class JAX primitives (see the registration block at the bottom) so
+the MAML grad-of-grad and vmap-over-tasks compose at any order.
 """
 
 from __future__ import annotations
@@ -122,6 +124,14 @@ def _bwd_kernel(sizes_ref, a_hbm, g_ref, out_ref, acc, a_buf, sem):
 def _call(kernel, A, x, sizes, interpret):
     S, P, _ = A.shape
     H = x.shape[-1]
+    # Mosaic requires the lane (last) dimension 128-aligned; narrow feature
+    # widths are real (aggregated width = min(fan_in, fan_out) under the
+    # matmul-order switch: 1 for Tree-of-Life's scalar feature, 5 for
+    # FirstMM-DB, 50 for Tissue-PPI). Pad to the tile, slice back after.
+    if H % 128:
+        Hp = ((H + 127) // 128) * 128
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, Hp - H)))
+        return _call(kernel, A, x, sizes, interpret)[..., :H]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(S, P // TP),
@@ -168,45 +178,102 @@ def sized_reference(A, h, sizes):
     return out * mask[..., None]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+# ---- primitive registration -------------------------------------------------
+#
+# The op pair (A @ h, A^T @ g) is registered as first-class JAX primitives
+# rather than custom_vjp functions. custom_vjp is a trace-time construct: the
+# MAML INNER jax.grad consumes the wrappers, so the jaxpr it emits contains
+# raw pallas_calls, and the OUTER meta-gradient's linearization then hits
+# pallas's missing jvp rule (NotImplementedError — observed on the real chip
+# under vmap(scan(grad)) during the parity runs; the CPU tests never saw it
+# because the non-TPU path uses sized_reference). As primitives with their
+# own jvp + transpose + batching rules, differentiation is closed at EVERY
+# order: the op is linear in h, its tangent is itself, and its transpose is
+# the other primitive of the pair — exactly how lax's own linear ops
+# (e.g. conv) stay differentiable through grad-of-grad.
+
+from jax._src import ad_util  # noqa: E402  (Zero; stable across jax 0.9)
+from jax.extend import core as jex_core  # noqa: E402
+from jax.interpreters import ad, batching, mlir  # noqa: E402
+
+agg_sized_p = jex_core.Primitive("gmeta_aggregate_sized")
+agg_sized_t_p = jex_core.Primitive("gmeta_aggregate_sized_t")
+
+
 def aggregate_sized(A, h, sizes, interpret=False):
-    """(S, P, H) = A @ h with per-subgraph live sizes; tiles beyond
+    """(S, P, H) = A @ h with per-subgraph live sizes; tiles at or beyond
     ceil(sizes[s]/128) are skipped (no FLOPs, no HBM reads). A is
-    non-differentiable data (edge structure).
-
-    Differentiable to ANY order: the op is linear in h, and its vjp is the
-    transpose kernel wrapped in its own custom_vjp whose vjp is this
-    function again (mutual recursion). Without that, the MAML outer grad —
-    which differentiates THROUGH the inner loop's vjp (the prototype path)
-    — would hit the raw pallas_call behind a one-shot custom_vjp and fail
-    with the pallas jvp NotImplementedError."""
-    return _call(_fwd_kernel, A, h, sizes, interpret)
+    structural data — its cotangent is not computed (adjacency is constant
+    over the inner loop; densify is not differentiated anywhere)."""
+    return agg_sized_p.bind(A, h, jnp.asarray(sizes, jnp.int32),
+                            interpret=bool(interpret))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def aggregate_sized_t(A, g, sizes, interpret=False):
     """(S, P, H) = A^T @ g with the same tile skipping (the SpMM transpose
     the reference gets from torch autograd, meta.py:125,149)."""
-    return _call(_bwd_kernel, A, g, sizes, interpret)
+    return agg_sized_t_p.bind(A, g, jnp.asarray(sizes, jnp.int32),
+                              interpret=bool(interpret))
 
 
-def _fwd(A, h, sizes, interpret):
-    return _call(_fwd_kernel, A, h, sizes, interpret), (A, sizes)
+def _register(prim, kernel, other):
+    def _abstract(A, h, sizes, *, interpret):
+        del interpret
+        return h.update(shape=h.shape, dtype=h.dtype)
+
+    def _impl(A, h, sizes, *, interpret):
+        return _call(kernel, A, h, sizes, interpret)
+
+    def _jvp(primals, tangents, *, interpret):
+        A, h, sizes = primals
+        dA, dh, _ = tangents
+        if not isinstance(dA, ad_util.Zero):
+            raise NotImplementedError(
+                "aggregate_sized: adjacency A is structural/non-differentiable")
+        out = prim.bind(A, h, sizes, interpret=interpret)
+        if isinstance(dh, ad_util.Zero):
+            dout = ad_util.Zero.from_primal_value(out)
+        else:  # linear in h: the tangent is the op itself
+            dout = prim.bind(A, dh, sizes, interpret=interpret)
+        return out, dout
+
+    def _transpose(ct, A, h, sizes, *, interpret):
+        assert ad.is_undefined_primal(h) and not ad.is_undefined_primal(A)
+        if isinstance(ct, ad_util.Zero):
+            return None, ad_util.Zero(h.aval), None
+        return None, other(A, ct, sizes, interpret=interpret), None
+
+    def _batch(args, dims, *, interpret):
+        # Fold the vmapped task axis into the subgraph axis: the kernel grid
+        # is (S, P//TP), so a (T, S, ...) batch is just a (T*S, ...) call.
+        A, h, sizes = args
+        dA, dh, ds = dims
+        T = next(a.shape[d] for a, d in zip(args, dims)
+                 if d is not batching.not_mapped)
+
+        def front(x, d):
+            if d is batching.not_mapped:
+                return jnp.broadcast_to(x[None], (T,) + x.shape)
+            return jnp.moveaxis(x, d, 0)
+
+        A, h, sizes = front(A, dA), front(h, dh), front(sizes, ds)
+        S, P = h.shape[1], h.shape[2]
+        out = prim.bind(A.reshape((T * S,) + A.shape[2:]),
+                        h.reshape((T * S,) + h.shape[2:]),
+                        sizes.reshape(T * S), interpret=interpret)
+        return out.reshape((T, S, P) + out.shape[2:]), 0
+
+    prim.def_abstract_eval(_abstract)
+    prim.def_impl(_impl)
+    mlir.register_lowering(prim, mlir.lower_fun(_impl, multiple_results=False))
+    ad.primitive_jvps[prim] = _jvp
+    ad.primitive_transposes[prim] = _transpose
+    batching.primitive_batchers[prim] = _batch
 
 
-def _bwd(interpret, res, g):
-    A, sizes = res
-    return (None, aggregate_sized_t(A, g, sizes, interpret), None)
-
-
-def _fwd_t(A, g, sizes, interpret):
-    return _call(_bwd_kernel, A, g, sizes, interpret), (A, sizes)
-
-
-def _bwd_t(interpret, res, t):
-    A, sizes = res
-    return (None, aggregate_sized(A, t, sizes, interpret), None)
-
-
-aggregate_sized.defvjp(_fwd, _bwd)
-aggregate_sized_t.defvjp(_fwd_t, _bwd_t)
+_register(agg_sized_p, _fwd_kernel,
+          lambda A, g, sizes, interpret: aggregate_sized_t(A, g, sizes,
+                                                           interpret))
+_register(agg_sized_t_p, _bwd_kernel,
+          lambda A, t, sizes, interpret: aggregate_sized(A, t, sizes,
+                                                         interpret))

@@ -1,0 +1,324 @@
+"""Accuracy-parity runner: the five reference recipes end-to-end.
+
+Trains each recipe on its scale-faithful replica (scripts/make_replicas.py)
+through the PRODUCTION driver (gmeta_tpu/run/train.py Trainer + the exact
+PRESETS of config.py), and records the evidence VERDICT round 2 item 1 asks
+for:
+
+- the reference-protocol accuracy quadruple (test acc as the reference
+  prints it = accs[1]; clean final-step acc; best-model acc; the
+  contaminated "Early Stopped" average) vs the reference's own numbers
+  (test.ipynb cells 0-4; BASELINE.md),
+- steady-state tasks/s + edges/s from the jsonl metric stream,
+- process peak RSS and wall-clock split (replica gen / data+extraction /
+  training),
+- per-layer GCN activation parity vs the numpy DGL-semantics oracle
+  (tests/oracle.py) on REAL capped subgraphs of the replica's test split
+  — the BASELINE.json "per-layer activations allclose" gate.
+
+Results land in parity/<recipe>.json; `--report` assembles PARITY.md.
+
+Usage:
+  python scripts/run_parity.py arxiv [--probe] [--epoch N] [--batchsz N]
+  python scripts/run_parity.py --report
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import resource
+import sys
+import time
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+sys.path.insert(0, os.path.join(ROOT, "tests"))      # numpy oracle
+sys.path.insert(0, os.path.join(ROOT, "scripts"))
+
+from make_replicas import RECIPES  # noqa: E402
+
+# Reference baselines: test.ipynb cells 0-4 (verbatim in BASELINE.md).
+REF = {
+    "arxiv": dict(final=0.421, early=0.436, tasks_per_s=6.5, rss_gb=42.5,
+                  params=99_587, total_s=17_206),
+    "tissue_ppi": dict(final=0.780, early=0.774, tasks_per_s=7.3, rss_gb=37.9,
+                       params=23_298, total_s=4_852),
+    "fold_ppi": dict(final=0.578, early=0.656, tasks_per_s=4.3, rss_gb=44.4,
+                     params=82_563, total_s=7_150),
+    "firstmm_db": dict(final=0.769, early=0.756, tasks_per_s=12.3,
+                       rss_gb=14.9, params=17_794, total_s=2_536),
+    "tree_of_life": dict(final=0.694, early=0.723, tasks_per_s=11.1,
+                         rss_gb=68.6, params=67_330, total_s=11_569),
+}
+
+
+def peak_rss_gb() -> float:
+    """This process's peak RSS (ru_maxrss is KiB on Linux)."""
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / (1024 ** 2)
+
+
+# ---- per-layer activation parity vs the numpy oracle ------------------------
+
+def activation_parity(store, ds_test, spec, link_pred: bool,
+                      n_checks: int = 6, seed: int = 0) -> dict:
+    """Forward real test-split subgraphs through the production packed path
+    and the raw-edge-list numpy oracle with the SAME random params; report
+    the max abs diff per GCN layer and at the logits. Subgraphs are chosen
+    largest-first so capped (sample_nodes-hit) neighborhoods are covered."""
+    import jax
+    import jax.numpy as jnp
+
+    import oracle
+    from gmeta_tpu.data.pack import pack_set, round_up
+    from gmeta_tpu.models.gcn import forward, init_params
+
+    params = init_params(jax.random.PRNGKey(3), spec)
+    np_params = [np.asarray(p) for p in params]
+    n_gcn = sum(1 for n, _ in spec if n == "GraphConv")
+
+    names = sorted({
+        n for i in range(min(len(ds_test), 40))
+        for group in (ds_test.sampler.support_x_batch[i],
+                      ds_test.sampler.query_x_batch[i])
+        for sub in group for n in sub})
+    subs = [(nm, ds_test.extractor.extract(nm)) for nm in names]
+    subs.sort(key=lambda t: -len(t[1].parents))
+    rng = np.random.RandomState(seed)
+    chosen = subs[:n_checks // 2] + [
+        subs[i] for i in rng.choice(len(subs), n_checks - n_checks // 2,
+                                    replace=False)]
+
+    feats_dev = jnp.asarray(store.features)
+    layer_diff = np.zeros(n_gcn)
+    logit_diff = 0.0
+    sizes = []
+    for name, sub in chosen:
+        g_idx = int(name.split("_")[0])
+        n = len(sub.parents)
+        sizes.append(n)
+        P = round_up(max(n, 1), 128)
+        E = round_up(max(len(sub.edge_src), 1), 2048)
+        packed = pack_set([sub], [g_idx], [0], store, P, E, B=1)
+        coll: list = []
+        logits = forward(params, jax.tree.map(jnp.asarray, packed), feats_dev,
+                         spec, compute_dtype=jnp.float32, agg="dense",
+                         collect=coll)
+        logits = np.asarray(logits)
+
+        gids = store.global_ids(g_idx, sub.parents)
+        h = store.features[gids].astype(np.float64)
+        for li in range(n_gcn):
+            w, b = np_params[2 * li], np_params[2 * li + 1]
+            h = oracle.gcn_layer(h, sub.edge_src, sub.edge_dst, n, w, b)
+            got = np.asarray(coll[li])[0, :n]
+            # relative to the layer's activation scale: the production path
+            # is f32, the oracle f64, so the honest comparison is relative
+            rel = np.abs(got - h) / (np.abs(h) + 1.0)
+            layer_diff[li] = max(layer_diff[li], float(rel.max()))
+        c = sub.centers
+        ro = (np.concatenate([h[c[0]], h[c[1]]]) if link_pred else h[c[0]])
+        ref_logits = ro @ np_params[-2].T + np_params[-1]
+        rel = np.abs(logits[0] - ref_logits) / (np.abs(ref_logits) + 1.0)
+        logit_diff = max(logit_diff, float(rel.max()))
+
+    return {"n_checked": len(chosen),
+            "subgraph_nodes": sizes,
+            "max_rel_diff_per_layer": [round(d, 8) for d in layer_diff],
+            "max_rel_diff_logits": round(logit_diff, 8),
+            "allclose_1e-4": bool(logit_diff < 1e-4
+                                  and max(layer_diff) < 1e-4)}
+
+
+# ---- one recipe -------------------------------------------------------------
+
+def run_recipe(name: str, args) -> dict:
+    import jax
+
+    from gmeta_tpu.config import PRESETS, build_model_config
+    from gmeta_tpu.models.gcn import count_params
+    from gmeta_tpu.run.train import Trainer, build_datasets
+
+    rep_dir = os.path.join(args.replicas, name)
+    gen_s = 0.0
+    if not os.path.exists(os.path.join(rep_dir, "graphs.npz")):
+        print(f"# building replica {name} -> {rep_dir}", flush=True)
+        t0 = time.time()
+        RECIPES[name](rep_dir)
+        gen_s = time.time() - t0
+
+    cfg = dataclasses.replace(PRESETS[name])
+    cfg.data_dir = rep_dir
+    # telemetry query-evals off: trains identically, ~2x faster (config.py)
+    cfg.track_train_curve = False
+    scaled = {}
+    if args.probe:
+        scaled = dict(batchsz=min(cfg.batchsz, 400), eval_batchsz=50,
+                      epoch=min(cfg.epoch, 3))
+    if args.epoch:
+        scaled["epoch"] = args.epoch
+    if args.batchsz:
+        scaled["batchsz"] = args.batchsz
+    if args.eval_batchsz:
+        scaled["eval_batchsz"] = args.eval_batchsz
+    if args.device_task_pool:
+        scaled["device_task_pool"] = True
+    for k, v in scaled.items():
+        setattr(cfg, k, v)
+    os.makedirs(args.out, exist_ok=True)
+    cfg.metrics_path = os.path.join(args.out, f"{name}.metrics.jsonl")
+    if os.path.exists(cfg.metrics_path):
+        os.remove(cfg.metrics_path)
+    cfg.validate()
+
+    t0 = time.time()
+    store, datasets, labels_num = build_datasets(cfg)
+    data_s = time.time() - t0
+    spec = build_model_config(cfg, store.feat_dim, labels_num)
+
+    trainer = Trainer(cfg, store, datasets, labels_num)
+    n_params = count_params(trainer.learner.params)
+    t0 = time.time()
+    result = trainer.fit()
+    train_s = time.time() - t0
+
+    # steady-state throughput: mean of the last half of the train records
+    tps, eps = [], []
+    with open(cfg.metrics_path) as f:
+        for line in f:
+            rec = json.loads(line)
+            if rec["kind"] in ("train_step", "train_window"):
+                tps.append(rec.get("tasks_per_s", 0.0))
+                eps.append(rec.get("edges_per_s", 0.0))
+    tail = max(len(tps) // 2, 1)
+    tasks_per_s = float(np.mean(tps[-tail:])) if tps else 0.0
+    edges_per_s = float(np.mean(eps[-tail:])) if eps else 0.0
+
+    act = activation_parity(store, datasets["test"], spec,
+                            cfg.link_pred_mode)
+
+    ref = REF[name]
+    out = {
+        "recipe": name,
+        "backend": jax.default_backend(),
+        "preset_overrides": scaled,
+        "epochs": cfg.epoch, "batchsz": cfg.batchsz,
+        "train_tasks_total": cfg.epoch * (len(datasets["train"])
+                                          // cfg.task_num) * cfg.task_num,
+        "params": n_params,
+        "params_ref": ref["params"],
+        "acc": {
+            "test_acc_ref_style": round(result.test_acc_ref, 4),
+            "test_acc_final_step": round(result.test_acc_final, 4),
+            "best_model_acc": round(result.best_test_acc, 4),
+            "early_stopped_ref_style": round(result.early_stopped_ref, 4),
+            "val_max": round(result.val_max_acc, 4),
+        },
+        "reference_acc": {"final": ref["final"], "early_stopped": ref["early"]},
+        "tasks_per_s": round(tasks_per_s, 2),
+        "edges_per_s": round(edges_per_s, 1),
+        "tasks_per_s_ref": ref["tasks_per_s"],
+        "vs_ref_throughput": round(tasks_per_s / ref["tasks_per_s"], 2)
+        if tasks_per_s else 0.0,
+        "peak_rss_gb": round(peak_rss_gb(), 2),
+        "peak_rss_gb_ref": ref["rss_gb"],
+        "wall_s": {"replica_gen": round(gen_s, 1),
+                   "data_and_extraction": round(data_s, 1),
+                   "train_and_eval": round(train_s, 1)},
+        "total_s_ref": ref["total_s"],
+        "activation_parity": act,
+    }
+    path = os.path.join(args.out, f"{name}.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+    return out
+
+
+# ---- report -----------------------------------------------------------------
+
+def write_report(out_dir: str) -> None:
+    rows = []
+    for name in REF:
+        p = os.path.join(out_dir, f"{name}.json")
+        if os.path.exists(p):
+            with open(p) as f:
+                rows.append(json.load(f))
+    lines = [
+        "# PARITY — five-recipe accuracy reproduction (round 3)",
+        "",
+        "Each reference recipe (G-Meta/README.md:66-179) trained end-to-end"
+        " through the production",
+        "driver (`gmeta_tpu/run/train.py`) with its exact `config.py` preset,"
+        " on the scale-faithful",
+        "replica datasets of `scripts/make_replicas.py` (the real downloads —"
+        " a Google Drive folder,",
+        "README.md:183-186 — are unreachable from this environment; replicas"
+        " match the published",
+        "graph/node/edge counts and the reference model's parameter count"
+        " bit-for-bit).",
+        "",
+        "Reference numbers are the saved outputs of `test.ipynb` cells 0-4"
+        " (BASELINE.md). The",
+        "reference's \"Test acc\" prints the accuracy after the FIRST finetune"
+        " step (accs[1],",
+        "train.py:137) and its \"Early Stopped\" figure averages a"
+        " contaminated list (train.py:130-146);",
+        "both reference-style numbers and the clean ones are reported.",
+        "",
+        "| recipe | params (=ref) | acc ref-style / final-step / best | ref"
+        " final / early | tasks/s (ref) | peak RSS GB (ref) | act parity"
+        " max|Δ| |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        a, ref = r["acc"], r["reference_acc"]
+        lines.append(
+            f"| {r['recipe']} | {r['params']:,}"
+            f" ({'=' if r['params'] == r['params_ref'] else '!='}) "
+            f"| {a['test_acc_ref_style']:.3f} / {a['test_acc_final_step']:.3f}"
+            f" / {a['best_model_acc']:.3f} "
+            f"| {ref['final']:.3f} / {ref['early_stopped']:.3f} "
+            f"| {r['tasks_per_s']:.1f} ({r['tasks_per_s_ref']}) "
+            f"| {r['peak_rss_gb']:.1f} ({r['peak_rss_gb_ref']}) "
+            f"| {r['activation_parity']['max_rel_diff_logits']:.2e} |")
+    lines += [
+        "",
+        "Per-recipe details (training length, wall-clock split, per-layer"
+        " activation diffs,",
+        "steady-state edges/s) are in `parity/<recipe>.json`; the full metric"
+        " streams in",
+        "`parity/<recipe>.metrics.jsonl`.",
+        "",
+    ]
+    with open(os.path.join(ROOT, "PARITY.md"), "w") as f:
+        f.write("\n".join(lines))
+    print(f"PARITY.md written ({len(rows)} recipes)")
+
+
+def main():
+    ap = argparse.ArgumentParser("run_parity")
+    ap.add_argument("recipes", nargs="*", choices=list(REF) + [[]])
+    ap.add_argument("--probe", action="store_true",
+                    help="short calibration run (batchsz<=400, 3 epochs)")
+    ap.add_argument("--epoch", type=int, default=0)
+    ap.add_argument("--batchsz", type=int, default=0)
+    ap.add_argument("--eval_batchsz", type=int, default=0)
+    ap.add_argument("--device_task_pool", action="store_true")
+    ap.add_argument("--replicas", default=os.path.join(ROOT, "replicas"))
+    ap.add_argument("--out", default=os.path.join(ROOT, "parity"))
+    ap.add_argument("--report", action="store_true")
+    args = ap.parse_args()
+
+    for name in (args.recipes or []):
+        run_recipe(name, args)
+    if args.report or not args.recipes:
+        write_report(args.out)
+
+
+if __name__ == "__main__":
+    main()

@@ -127,4 +127,49 @@ def test_vmap_over_tasks():
     mask = (np.arange(P)[None, None, :]
             < np.asarray(sz)[:, :, None]).astype(np.float32)
     np.testing.assert_allclose(np.asarray(out) * mask[..., None],
-                               np.asarray(ref) * mask[..., None], rtol=1e-5)
+                               np.asarray(ref) * mask[..., None],
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_meta_gradient_through_scan_of_grad():
+    """Regression for the round-3 parity-probe crash on real TPU: the MAML
+    meta-gradient — jax.grad through a lax.scan whose body itself calls
+    jax.grad — left RAW pallas_calls in the inner vjp's jaxpr when
+    aggregate_sized was a custom_vjp function (the inner grad consumes the
+    wrappers), and the outer linearization then hit pallas's missing jvp
+    rule. aggregate_sized is now a first-class primitive with jvp/transpose/
+    batching rules, so every AD order is closed; this locks the exact
+    failing composition (vmap over tasks of scan of grad) against the pure
+    reference semantics."""
+    T, S, P, H = 2, 2, 128, 8
+    rng = np.random.RandomState(5)
+    As, hs, szs = [], [], []
+    for t in range(T):
+        sizes = rng.randint(60, P + 1, S)
+        A, h, sz = _mk(S, P, H, sizes, seed=7 + t)
+        As.append(A); hs.append(h); szs.append(sz)
+    A, h, sz = jnp.stack(As), jnp.stack(hs), jnp.stack(szs)
+
+    from gmeta_tpu.ops.pallas_spmm import sized_reference
+
+    def make(agg):
+        def one_task(A, h, sz, w0):
+            def inner(w):
+                return (agg(A, h * w, sz) ** 2).mean()
+
+            def step(w, _):
+                return w - 0.1 * jax.grad(inner)(w), None
+
+            w, _ = jax.lax.scan(step, w0, None, length=3)
+            return agg(A, h * w, sz).sum()
+
+        def meta(w0):
+            return jax.vmap(lambda a, x, s: one_task(a, x, s, w0))(
+                A, h, sz).mean()
+
+        return jax.jit(jax.grad(meta))
+
+    g = make(lambda A, h, sz: aggregate_sized(A, h, sz, True))(jnp.float32(1.0))
+    gr = make(sized_reference)(jnp.float32(1.0))
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gr),
+                               rtol=1e-4, atol=1e-6)
