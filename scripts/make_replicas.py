@@ -28,9 +28,16 @@ weighted endpoint give the heavy degree tail that makes 2-hop neighborhoods
 blow past the `sample_nodes`=1000 cap (subgraph_data_processing.py:312-314),
 which is what shapes the reference's compute per task.
 
-Class-signal / label-noise knobs are calibrated (scripts/run_parity.py probe
-mode) so few-shot accuracy lands in the reference band rather than at
-ceiling or chance.
+Difficulty knobs (class signal/noise, activity-assortativity beta, spiked
+field dims) are calibrated with the fast numpy proxies of
+scripts/calibrate_replicas.py — prototype/LDA accuracy in A_hat^2 X space,
+which brackets what a trained 2-layer GCN + prototype head can extract — so
+few-shot accuracy lands in the reference band rather than at ceiling or
+chance. Link replicas use ring_actz_pairs (activity-assortative hubs over a
+ring-smooth latent field): the prototype head is linear in logit space, so
+only pos/neg FEATURE-MEAN separation is learnable, and with no GCN
+self-loop the separating feature must be ring-smooth to survive
+aggregation at the center node.
 
 Usage: python scripts/make_replicas.py [--out replicas] [recipe ...]
 """
@@ -54,20 +61,29 @@ from gmeta_tpu.data.prepare import (  # noqa: E402
 # ---- graph generator --------------------------------------------------------
 
 def ring_hub_pairs(n: int, local_k: int, hub_deg: float, hub_alpha: float,
-                   rng: np.random.RandomState, max_hub_w: float = 0.02):
+                   rng: np.random.RandomState, max_hub_w: float = 0.02,
+                   return_hub_w: bool = False):
     """Undirected edge pairs (E, 2): ring-local (i, i+d) for d in 1..local_k
     plus n*hub_deg/2 hub pairs whose second endpoint is drawn from a zipf
     distribution over a random node permutation (capped at max_hub_w mass per
-    node so no single hub's 2-hop collection cost explodes extraction)."""
+    node so no single hub's 2-hop collection cost explodes extraction).
+
+    `return_hub_w` also returns each node's normalized hub weight (the
+    latent attachment propensity) — the link replicas expose it as a
+    feature channel, because the REALIZED degree of most nodes is dominated
+    by the constant ring degree, which hides the propensity the positive
+    endpoints are actually biased by (see link_features)."""
     i = np.arange(n, dtype=np.int64)
     local = [np.stack([i, (i + d) % n], 1) for d in range(1, local_k + 1)]
     pairs = np.concatenate(local, 0)
     m_hub = int(n * hub_deg / 2)
+    hub_w = np.zeros(n)
     if m_hub:
         w = (np.arange(n, dtype=np.float64) + 1.0) ** (-hub_alpha)
         w = np.minimum(w / w.sum(), max_hub_w)
         w /= w.sum()
         perm = rng.permutation(n)
+        hub_w[perm] = w
         src = rng.randint(0, n, size=m_hub)
         dst = perm[rng.choice(n, size=m_hub, p=w)]
         keep = src != dst
@@ -75,7 +91,8 @@ def ring_hub_pairs(n: int, local_k: int, hub_deg: float, hub_alpha: float,
     lo = np.minimum(pairs[:, 0], pairs[:, 1])
     hi = np.maximum(pairs[:, 0], pairs[:, 1])
     uniq = np.unique(lo * n + hi)
-    return np.stack([uniq // n, uniq % n], 1)
+    out = np.stack([uniq // n, uniq % n], 1)
+    return (out, hub_w) if return_hub_w else out
 
 
 def block_labels(n: int, num_classes: int, noise: float,
@@ -113,9 +130,9 @@ def make_arxiv(out: str, seed=0):
     pairs = ring_hub_pairs(n, local_k=5, hub_deg=3.6, hub_alpha=0.85, rng=rng)
     g = CSRGraph.from_edges(pairs[:, 0], pairs[:, 1], n,
                             make_bidirectional=True)
-    y = block_labels(n, classes, noise=0.30, rng=rng)
+    y = block_labels(n, classes, noise=0.65, rng=rng)
     centers = rng.randn(classes, feat_dim).astype(np.float32)
-    x = class_features(y, feat_dim, signal=0.55, centers=centers, rng=rng)
+    x = class_features(y, feat_dim, signal=0.15, centers=centers, rng=rng)
     prepare_node_disjoint(out, [g], [x], [y], num_label_set=8, seed=seed)
     return dict(nodes=n, edges=g.num_edges, classes=classes)
 
@@ -130,16 +147,17 @@ def make_fold_ppi(out: str, seed=1):
                                rng=rng)
         graphs.append(CSRGraph.from_edges(pairs[:, 0], pairs[:, 1], n,
                                           make_bidirectional=True))
-        y = block_labels(n, classes, noise=0.25, rng=rng)
+        y = block_labels(n, classes, noise=0.50, rng=rng)
         labels.append(y)
-        feats.append(class_features(y, feat_dim, signal=0.25,
+        feats.append(class_features(y, feat_dim, signal=0.15,
                                     centers=centers, rng=rng))
     prepare_node_disjoint(out, graphs, feats, labels, num_label_set=6,
                           seed=seed)
     return dict(graphs=n_graphs, nodes=n_graphs * n, classes=classes)
 
 
-def make_tissue_ppi(out: str, seed=2, n_tasks=10):
+def make_tissue_ppi(out: str, seed=2, n_tasks=10, spike_dim=2,
+                    spike=7.0, feat_noise=0.6):
     n_graphs, n, feat_dim = 24, 4_000, 50
     rng = np.random.RandomState(seed)
     graphs, feats, bases = [], [], []
@@ -148,14 +166,23 @@ def make_tissue_ppi(out: str, seed=2, n_tasks=10):
                                rng=rng)
         graphs.append(CSRGraph.from_edges(pairs[:, 0], pairs[:, 1], n,
                                           make_bidirectional=True))
+        # Spiked covariance: the first `spike_dim` field dims carry `spike`x
+        # the variance, and task directions live in that subspace — without
+        # the spike the other 44 isotropic dims dominate the k_spt=3
+        # prototype noise and cap accuracy near chance regardless of
+        # feat_noise (measured in calibrate_replicas sweeps).
         base = smooth_field(n, feat_dim, win=24, rng=rng)
+        base[:, :spike_dim] *= spike
         bases.append(base)
-        feats.append((base + 0.9 * rng.randn(n, feat_dim)).astype(np.float32))
-    # task t = binary threshold of a random direction in the smooth base
-    # field: consistent across graphs, recoverable from denoised features
+        feats.append((base + feat_noise * rng.randn(n, feat_dim))
+                     .astype(np.float32))
+    # task t = binary threshold of a random direction in the SPIKED subspace
+    # of the smooth base field: consistent across graphs, recoverable from
+    # denoised features
     task_labels = []
     for _t in range(n_tasks):
-        w = rng.randn(feat_dim)
+        w = np.zeros(feat_dim)
+        w[:spike_dim] = rng.randn(spike_dim)
         w /= np.linalg.norm(w)
         task_labels.append([(b @ w > 0).astype(np.int64) for b in bases])
     prepare_node_shared_tasks(out, graphs, feats, task_labels,
@@ -163,38 +190,83 @@ def make_tissue_ppi(out: str, seed=2, n_tasks=10):
     return dict(graphs=n_graphs, nodes=n_graphs * n, tasks=n_tasks)
 
 
+def ring_actz_pairs(n: int, local_k: int, hub_deg: float, beta: float,
+                    z_win: int, rng: np.random.RandomState,
+                    max_hub_w: float = 0.02):
+    """Link-replica graph: ring-local pairs plus n*hub_deg/2 ACTIVITY-
+    ASSORTATIVE hub pairs — BOTH endpoints drawn proportional to
+    exp(beta * z) where z is a ring-smooth latent activity field (smoothed
+    over z_win positions). Returns (pairs, z).
+
+    Why this shape: the prototype head is linear in logit space
+    (meta.py:56-79; scripts/calibrate_replicas.py), so the only signal it
+    can exploit is a FEATURE-MEAN difference between positive and negative
+    pairs — here, positive hub edges' endpoints have high activity while
+    uniformly-sampled negatives don't (the high-activity/high-degree
+    protein mechanism of the real PPI link datasets). And because the
+    reference GCN adds NO self-loop (learner.py:38-45), a center's own
+    feature is diluted out of its embedding — z must be SMOOTH along the
+    ring so the center's activity survives aggregation via its neighbors.
+    exp(beta*z) is lognormal -> heavy-tailed hub degrees (capped at
+    max_hub_w mass), which keeps 2-hop union neighborhoods cap-hitting."""
+    z = smooth_field(n, 1, z_win, rng)[:, 0]
+    z = (z - z.mean()) / max(z.std(), 1e-9)
+    i = np.arange(n, dtype=np.int64)
+    local = [np.stack([i, (i + d) % n], 1) for d in range(1, local_k + 1)]
+    pairs = np.concatenate(local, 0)
+    m_hub = int(n * hub_deg / 2)
+    if m_hub:
+        w = np.exp(beta * z)
+        w = np.minimum(w / w.sum(), max_hub_w)
+        w /= w.sum()
+        src = rng.choice(n, size=m_hub, p=w)
+        dst = rng.choice(n, size=m_hub, p=w)
+        keep = src != dst
+        pairs = np.concatenate([pairs, np.stack([src[keep], dst[keep]], 1)], 0)
+    lo = np.minimum(pairs[:, 0], pairs[:, 1])
+    hi = np.maximum(pairs[:, 0], pairs[:, 1])
+    uniq = np.unique(lo * n + hi)
+    return np.stack([uniq // n, uniq % n], 1), z
+
+
+def link_features(n: int, deg: np.ndarray, z: np.ndarray,
+                  feature_kind: str, rng,
+                  noise: float = 0.3) -> np.ndarray:
+    """Node features for the link replicas: the activity field z (the
+    mean-separating link signal, see ring_actz_pairs) plus `noise`, with
+    degree/positional summary channels in the 5-dim FirstMM layout."""
+    mean_deg = max(deg.mean(), 1.0)
+    if feature_kind == "degree":
+        # ToL ships a single scalar feature
+        return (z + noise * rng.randn(n))[:, None].astype(np.float32)
+    # FirstMM's 5 features are mesh/point-cloud summaries; the stand-in is
+    # structural summaries (activity + degree channel + positional).
+    i = np.arange(n)
+    return np.stack([
+        z + noise * rng.randn(n),
+        np.log1p(deg) / np.log1p(mean_deg),
+        np.sin(2 * np.pi * i / n),
+        np.cos(2 * np.pi * i / n),
+        noise * rng.randn(n),
+    ], axis=1).astype(np.float32)
+
+
 def _link_recipe(out: str, n_graphs: int, n: int, feat_dim: int,
                  local_k: int, hub_deg: float, seed: int,
-                 feature_kind: str):
+                 feature_kind: str, noise: float = 0.3,
+                 beta: float = 2.0, z_win: int = 16):
     rng = np.random.RandomState(seed)
     pos_edges, num_nodes, feats = [], [], []
     for _ in range(n_graphs):
-        pairs = ring_hub_pairs(n, local_k=local_k, hub_deg=hub_deg,
-                               hub_alpha=0.8, rng=rng)
+        pairs, z = ring_actz_pairs(n, local_k=local_k, hub_deg=hub_deg,
+                                   beta=beta, z_win=z_win, rng=rng)
         pos_edges.append(pairs)
         num_nodes.append(n)
         deg = np.zeros(n)
         np.add.at(deg, pairs[:, 0], 1.0)
         np.add.at(deg, pairs[:, 1], 1.0)
-        if feature_kind == "degree":
-            # ToL ships a single scalar feature; use normalized degree
-            feats.append((deg[:, None] / max(deg.max(), 1.0)).astype(np.float32))
-        else:
-            # FirstMM's 5 features are mesh/point-cloud summaries; the
-            # stand-in is structural summaries. The degree channels are the
-            # load-bearing link signal an additive endpoint head can use:
-            # a random positive EDGE's endpoints are degree-biased
-            # (E[deg^2]/E[deg]) while negative endpoints are ~uniform, so
-            # pos/neg differ in FEATURE MEAN — the same mechanism that
-            # makes the real ToL (degree-features) recipe learnable.
-            i = np.arange(n)
-            feats.append(np.stack([
-                deg / max(deg.max(), 1.0),
-                np.log1p(deg) / max(np.log1p(deg).max(), 1.0),
-                np.sin(2 * np.pi * i / n),
-                np.cos(2 * np.pi * i / n),
-                0.3 * rng.randn(n),
-            ], axis=1).astype(np.float32))
+        feats.append(link_features(n, deg, z, feature_kind, rng,
+                                   noise=noise))
     prepare_link(out, pos_edges, num_nodes, feats,
                  training_edges_fraction=0.3, val_frac=0.1, seed=seed)
     return dict(graphs=n_graphs, nodes=n_graphs * n,
@@ -204,15 +276,17 @@ def _link_recipe(out: str, n_graphs: int, n: int, feat_dim: int,
 def make_firstmm_db(out: str, seed=3):
     # FirstMM-DB: 41 object graphs, ~1.4k nodes, sparse (3D meshes), 5-dim
     return _link_recipe(out, n_graphs=41, n=1_350, feat_dim=5,
-                        local_k=2, hub_deg=2.0, seed=seed,
-                        feature_kind="structural")
+                        local_k=1, hub_deg=4.0, seed=seed,
+                        feature_kind="structural", noise=0.3,
+                        beta=2.5, z_win=32)
 
 
 def make_tree_of_life(out: str, seed=4):
     # ToL: 1,840 species PPI networks, ~2.9k nodes each, 1-dim feature
     return _link_recipe(out, n_graphs=1_840, n=2_900, feat_dim=1,
-                        local_k=4, hub_deg=5.4, seed=seed,
-                        feature_kind="degree")
+                        local_k=3, hub_deg=7.5, seed=seed,
+                        feature_kind="degree", noise=0.4,
+                        beta=2.5, z_win=32)
 
 
 RECIPES = {

@@ -105,9 +105,12 @@ def activation_parity(store, ds_test, spec, link_pred: bool,
         E = round_up(max(len(sub.edge_src), 1), 2048)
         packed = pack_set([sub], [g_idx], [0], store, P, E, B=1)
         coll: list = []
-        logits = forward(params, jax.tree.map(jnp.asarray, packed), feats_dev,
-                         spec, compute_dtype=jnp.float32, agg="dense",
-                         collect=coll)
+        # TPU's DEFAULT f32 matmul runs in bf16 passes (~1e-3 rel error);
+        # the parity gate is about MATH equivalence, so pin true-f32 passes
+        with jax.default_matmul_precision("highest"):
+            logits = forward(params, jax.tree.map(jnp.asarray, packed),
+                             feats_dev, spec, compute_dtype=jnp.float32,
+                             agg="dense", collect=coll)
         logits = np.asarray(logits)
 
         gids = store.global_ids(g_idx, sub.parents)
@@ -138,6 +141,13 @@ def activation_parity(store, ds_test, spec, link_pred: bool,
 
 def run_recipe(name: str, args) -> dict:
     import jax
+
+    # Persistent compile cache: first-step compiles through the TPU tunnel
+    # run 150-500+ s (the BENCH_r02 "978 s compile" anomaly is this,
+    # tunnel-side); identical shapes across calibration runs then hit disk.
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(ROOT, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 
     from gmeta_tpu.config import PRESETS, build_model_config
     from gmeta_tpu.models.gcn import count_params
