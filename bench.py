@@ -31,6 +31,7 @@ Prints ONE JSON line. Headline metric stays the arxiv-shape tasks/s
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -198,6 +199,15 @@ def bench_extraction() -> dict:
 
 
 def main() -> None:
+    # Persistent compile cache: the arxiv-shape (P=1024) train step compiles
+    # in ~1000 s through the TPU tunnel (this, not an environment anomaly,
+    # is BENCH_r02's "978 s compile" — reproduced and explained during the
+    # round-3 parity runs). Identical-shape recompiles then hit disk.
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
     shapes = {}
     for name, s in SHAPES.items():
         try:

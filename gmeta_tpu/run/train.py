@@ -164,6 +164,16 @@ class Trainer:
         if cfg.device_task_pool:
             return self._fit_device_pool(t_start, mean_edges)
 
+        # Depth-1 dispatch pipeline: packing batch N+1 overlaps the device
+        # executing step N, but step N+1 is not dispatched until step N has
+        # completed. Without this bound the host can run up to
+        # train_result_report_steps dispatches ahead (the only sync was the
+        # report-step accs fetch) — ~200 staged batches = tens of GB of host
+        # transfer buffers, which drove the machine to the edge of OOM when
+        # the TPU tunnel briefly stalled mid-epoch during the round-3 arxiv
+        # parity run. Costs nothing in steady state: one step of overlap is
+        # exactly what the pack/compute pipeline needs.
+        prev_handle = None
         for epoch in range(self.start_epoch, cfg.epoch):
             timer = StepTimer()
             skip = self.start_batch if epoch == self.start_epoch else 0
@@ -176,7 +186,10 @@ class Trainer:
                         and self.global_step == prof_stop - cfg.profile_steps:
                     jax.profiler.start_trace(cfg.profile_dir)
                     prof_active = True
+                if prev_handle is not None:
+                    jax.block_until_ready(prev_handle)
                 m = self.learner.train_step(batch)
+                prev_handle = m["meta_loss"]
                 if prof_active and self.global_step + 1 >= prof_stop:
                     jax.block_until_ready(m["meta_loss"])
                     jax.profiler.stop_trace()

@@ -128,6 +128,34 @@ def proxy_tissue(n, feat_dim, local_k, hub_deg, base_win, feat_noise,
     return np.mean(lo), np.mean(hi)
 
 
+def proxy_fold(n_graphs, n, feat_dim, classes, local_k, hub_deg, hub_alpha,
+               noise, signal, assort, n_way=3, k_spt=3, k_qry=24,
+               episodes=200, seed=0):
+    """Real fold geometry: MANY SMALL graphs (a 2-hop neighborhood spans
+    ~half a graph), class-assortative hubs, episodes drawn across graphs —
+    the single-big-graph proxy_node overestimated fold by ~0.24 because its
+    neighborhoods stayed class-pure at 2-hop scale."""
+    from make_replicas import class_features, fold_graph
+    rng = np.random.RandomState(seed)
+    centers = rng.randn(classes, feat_dim).astype(np.float32)
+    embs, ys = [], []
+    for _ in range(n_graphs):
+        pairs, y = fold_graph(n, classes, local_k, hub_deg, hub_alpha,
+                              noise, assort, rng)
+        X = class_features(y, feat_dim, signal, centers, rng)
+        embs.append(agg_hops(pairs, n, X, 2))
+        ys.append(y)
+    emb = np.concatenate(embs)
+    y = np.concatenate(ys)
+    lo, hi = [], []
+    for _ in range(episodes // 50):
+        cls = rng.choice(classes, n_way, replace=False)
+        by = [emb[y == c] for c in cls]
+        lo.append(proto_acc(by, k_spt, k_qry, 50, rng, lda=False))
+        hi.append(proto_acc(by, k_spt, k_qry, 50, rng, lda=True))
+    return np.mean(lo), np.mean(hi)
+
+
 # ---- link recipes -----------------------------------------------------------
 
 def proxy_link(n, feat_dim, local_k, hub_deg, feature_kind, k_spt=16,
@@ -167,10 +195,10 @@ RECIPE_PROXIES = {
         noise=0.65, signal=0.15), (0.421, 0.436)),
     "tissue_ppi": (lambda: proxy_tissue(
         4_000, 50, local_k=10, hub_deg=8.0, base_win=24, feat_noise=0.6,
-        spike_dim=2, spike=7.0), (0.780, 0.774)),
-    "fold_ppi": (lambda: proxy_node(
-        20_000, 512, 29, 3, 3, 24, local_k=4, hub_deg=4.0, hub_alpha=0.8,
-        noise=0.50, signal=0.15), (0.578, 0.656)),
+        spike_dim=2, spike=3.0), (0.780, 0.774)),
+    "fold_ppi": (lambda: proxy_fold(
+        16, 1_200, 512, 29, local_k=4, hub_deg=4.0, hub_alpha=0.8,
+        noise=0.55, signal=0.12, assort=0.5), (0.578, 0.656)),
     "firstmm_db": (lambda: proxy_link(
         1_350, 5, local_k=1, hub_deg=4.0, feature_kind="structural",
         noise=0.3, beta=2.5, z_win=32), (0.769, 0.756)),
