@@ -91,11 +91,13 @@ def proto_acc(emb_by_class, k_spt, k_qry, episodes, rng, lda=False):
 # ---- node recipes -----------------------------------------------------------
 
 def proxy_node(n, feat_dim, classes, n_way, k_spt, k_qry, local_k, hub_deg,
-               hub_alpha, noise, signal, episodes=300, seed=0):
+               hub_alpha, noise, signal, episodes=300, seed=0, rank=0):
+    from make_replicas import shared_subspace_centers
     rng = np.random.RandomState(seed)
     pairs = ring_hub_pairs(n, local_k, hub_deg, hub_alpha, rng)
     y = block_labels(n, classes, noise, rng)
-    centers = rng.randn(classes, feat_dim).astype(np.float32)
+    centers = (shared_subspace_centers(classes, feat_dim, rank, rng)
+               if rank else rng.randn(classes, feat_dim).astype(np.float32))
     X = class_features(y, feat_dim, signal, centers, rng)
     emb = agg_hops(pairs, n, X, 2)
     lo, hi = [], []
@@ -130,14 +132,16 @@ def proxy_tissue(n, feat_dim, local_k, hub_deg, base_win, feat_noise,
 
 def proxy_fold(n_graphs, n, feat_dim, classes, local_k, hub_deg, hub_alpha,
                noise, signal, assort, n_way=3, k_spt=3, k_qry=24,
-               episodes=200, seed=0):
+               episodes=200, seed=0, rank=0):
     """Real fold geometry: MANY SMALL graphs (a 2-hop neighborhood spans
     ~half a graph), class-assortative hubs, episodes drawn across graphs —
     the single-big-graph proxy_node overestimated fold by ~0.24 because its
     neighborhoods stayed class-pure at 2-hop scale."""
-    from make_replicas import class_features, fold_graph
+    from make_replicas import (class_features, fold_graph,
+                               shared_subspace_centers)
     rng = np.random.RandomState(seed)
-    centers = rng.randn(classes, feat_dim).astype(np.float32)
+    centers = (shared_subspace_centers(classes, feat_dim, rank, rng)
+               if rank else rng.randn(classes, feat_dim).astype(np.float32))
     embs, ys = [], []
     for _ in range(n_graphs):
         pairs, y = fold_graph(n, classes, local_k, hub_deg, hub_alpha,
@@ -192,13 +196,13 @@ RECIPE_PROXIES = {
     # final / early-stopped test acc
     "arxiv": (lambda: proxy_node(
         40_000, 128, 40, 3, 3, 24, local_k=5, hub_deg=3.6, hub_alpha=0.85,
-        noise=0.65, signal=0.15), (0.421, 0.436)),
+        noise=0.65, signal=0.15, rank=16), (0.421, 0.436)),
     "tissue_ppi": (lambda: proxy_tissue(
         4_000, 50, local_k=10, hub_deg=8.0, base_win=24, feat_noise=0.6,
         spike_dim=2, spike=3.0), (0.780, 0.774)),
     "fold_ppi": (lambda: proxy_fold(
         16, 1_200, 512, 29, local_k=4, hub_deg=4.0, hub_alpha=0.8,
-        noise=0.55, signal=0.12, assort=0.5), (0.578, 0.656)),
+        noise=0.50, signal=0.12, assort=0.5, rank=12), (0.578, 0.656)),
     "firstmm_db": (lambda: proxy_link(
         1_350, 5, local_k=1, hub_deg=4.0, feature_kind="structural",
         noise=0.3, beta=2.5, z_win=32), (0.769, 0.756)),
