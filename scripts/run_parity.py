@@ -252,12 +252,14 @@ def run_recipe(name: str, args) -> dict:
 # ---- report -----------------------------------------------------------------
 
 def write_report(out_dir: str) -> None:
-    rows = []
+    rows, pending = [], []
     for name in REF:
         p = os.path.join(out_dir, f"{name}.json")
         if os.path.exists(p):
             with open(p) as f:
                 rows.append(json.load(f))
+        else:
+            pending.append(name)
     lines = [
         "# PARITY — five-recipe accuracy reproduction (round 3)",
         "",
@@ -296,13 +298,23 @@ def write_report(out_dir: str) -> None:
             f"| {r['tasks_per_s']:.1f} ({r['tasks_per_s_ref']}) "
             f"| {r['peak_rss_gb']:.1f} ({r['peak_rss_gb_ref']}) "
             f"| {r['activation_parity']['max_rel_diff_logits']:.2e} |")
+    for name in pending:
+        lines.append(f"| {name} | — | pending rerun (generator recalibrated"
+                     " this round; see parity/superseded/) | "
+                     f"{REF[name]['final']:.3f} / {REF[name]['early']:.3f}"
+                     " | — | — | — |")
     lines += [
         "",
-        "Per-recipe details (training length, wall-clock split, per-layer"
-        " activation diffs,",
-        "steady-state edges/s) are in `parity/<recipe>.json`; the full metric"
-        " streams in",
-        "`parity/<recipe>.metrics.jsonl`.",
+        "Per-recipe details (training length incl. any preset overrides,"
+        " wall-clock split,",
+        "per-layer activation diffs, steady-state edges/s) are in"
+        " `parity/<recipe>.json`; the full",
+        "metric streams in `parity/<recipe>.metrics.jsonl`. Runs made"
+        " against superseded replica",
+        "generators (the measured failure modes that drove recalibration —"
+        " see the",
+        "scripts/make_replicas.py docstrings) are kept under"
+        " `parity/superseded/`.",
         "",
     ]
     with open(os.path.join(ROOT, "PARITY.md"), "w") as f:
