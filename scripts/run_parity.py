@@ -299,8 +299,14 @@ def write_report(out_dir: str) -> None:
             f"| {r['peak_rss_gb']:.1f} ({r['peak_rss_gb_ref']}) "
             f"| {r['activation_parity']['max_rel_diff_logits']:.2e} |")
     for name in pending:
-        lines.append(f"| {name} | — | pending rerun (generator recalibrated"
-                     " this round; see parity/superseded/) | "
+        note = "pending (no run yet)"
+        sup = os.path.join(out_dir, "superseded", f"{name}.json")
+        if os.path.exists(sup):
+            with open(sup) as f:
+                s = json.load(f)
+            note = (f"pending rerun — superseded-generator run scored "
+                    f"{s['acc']['test_acc_final_step']:.3f}")
+        lines.append(f"| {name} | — | {note} | "
                      f"{REF[name]['final']:.3f} / {REF[name]['early']:.3f}"
                      " | — | — | — |")
     lines += [
