@@ -202,7 +202,7 @@ RECIPE_PROXIES = {
         spike_dim=2, spike=3.0), (0.780, 0.774)),
     "fold_ppi": (lambda: proxy_fold(
         16, 1_200, 512, 29, local_k=4, hub_deg=4.0, hub_alpha=0.8,
-        noise=0.50, signal=0.12, assort=0.5, rank=12), (0.578, 0.656)),
+        noise=0.50, signal=0.18, assort=0.5, rank=6), (0.578, 0.656)),
     "firstmm_db": (lambda: proxy_link(
         1_350, 5, local_k=1, hub_deg=4.0, feature_kind="structural",
         noise=0.3, beta=2.5, z_win=32), (0.769, 0.756)),

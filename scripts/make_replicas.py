@@ -195,8 +195,8 @@ def fold_graph(n, classes, local_k, hub_deg, hub_alpha, noise, assort, rng):
     return np.stack([uniq // n, uniq % n], 1), y
 
 
-def make_fold_ppi(out: str, seed=1, noise=0.50, signal=0.12, assort=0.5,
-                  rank=12):
+def make_fold_ppi(out: str, seed=1, noise=0.50, signal=0.18, assort=0.5,
+                  rank=6):
     n_graphs, n, feat_dim, classes = 144, 1_200, 512, 29
     rng = np.random.RandomState(seed)
     graphs, feats, labels = [], [], []
