@@ -136,7 +136,7 @@ def _call(kernel, A, x, sizes, interpret):
         num_scalar_prefetch=1,
         grid=(S, P // TP),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),             # A in HBM
+            pl.BlockSpec(memory_space=pl.ANY),                # A in HBM
             pl.BlockSpec((1, P, H), lambda s, t, sz: (s, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, TP, H), lambda s, t, sz: (s, t, 0)),
@@ -250,6 +250,18 @@ def _register(prim, kernel, other):
         dA, dh, ds = dims
         T = next(a.shape[d] for a, d in zip(args, dims)
                  if d is not batching.not_mapped)
+
+        if (dA is batching.not_mapped and ds is batching.not_mapped
+                and dh is not batching.not_mapped):
+            # Task-invariant adjacency: folding T into the subgraph axis
+            # would materialize T full copies of A (S,P,P) in HBM. The op is
+            # linear over feature columns, so fold T into H instead — one
+            # bind against the SHARED A, zero copies.
+            h = jnp.moveaxis(h, dh, 2)                 # (S, P, T, H)
+            S, P, _, H = h.shape
+            out = prim.bind(A, h.reshape(S, P, T * H), sizes,
+                            interpret=interpret)
+            return jnp.moveaxis(out.reshape(S, P, T, H), 2, 0), 0
 
         def front(x, d):
             if d is batching.not_mapped:

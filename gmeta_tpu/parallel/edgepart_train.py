@@ -68,7 +68,8 @@ class EdgePartMetaTrainer:
                  g: CSRGraph, feats: np.ndarray, mesh: Mesh,
                  link_pred: bool = False,
                  update_lr: float = 0.01, meta_lr: float = 1e-3,
-                 update_step: int = 5, first_order: bool = True,
+                 update_step: int = 5, update_step_test: int = None,
+                 first_order: bool = True,
                  seed: int = 222):
         from gmeta_tpu.models.gcn import init_params
 
@@ -247,6 +248,75 @@ class EdgePartMetaTrainer:
             shard_fn, mesh=mesh,
             in_specs=(P(), P()) + graph_specs + task_specs,
             out_specs=(P(), P(), P())))
+
+        # ---- evaluation: the reference finetune curve, sharded ------------
+        # Same inner loop as train but update_step_test steps, no meta-grad,
+        # and a query evaluation BEFORE the first step and after every step
+        # — the (K+1,) accuracy curve of train.py:115-141 / meta.py:129-141.
+        K_test = update_step if update_step_test is None else update_step_test
+        self.update_step_test = K_test
+
+        def task_finetune(params, spt_c, spt_y, qry_c, qry_y, graph):
+            def spt_loss(w):
+                emb = gcn_embed(w, *graph)
+                logits = head_logits(w, readout(emb, spt_c))
+                loss, _, protos = proto_loss_spt(logits, spt_y, n_classes)
+                return loss, protos
+
+            def qry_acc(w, protos):
+                emb = gcn_embed(w, *graph)
+                logits = head_logits(w, readout(emb, qry_c))
+                return proto_loss_qry(logits, qry_y, protos)[1]
+
+            # step 0: theta + theta-derived prototypes (meta.py:129-134)
+            _, protos0 = spt_loss(params)
+            a0 = qry_acc(params, protos0)
+
+            def step(w, _):
+                # prototypes refreshed from the PRE-update weights, query
+                # evaluated at the POST-update weights (meta.py:143-157)
+                (_, protos), g = jax.value_and_grad(
+                    spt_loss, has_aux=True)(w)
+                w = jax.tree.map(lambda p, gi: p - update_lr * gi, w, g)
+                return w, qry_acc(w, protos)
+
+            _, accs = jax.lax.scan(step, params, None, length=K_test)
+            return jnp.concatenate([a0[None], accs])
+
+        def ft_shard_fn(params, h0, *rest):
+            (local_src, local_dst, local_mask, remote_src, remote_dst,
+             remote_mask, send_idx, send_mask, deg,
+             spt_c, spt_y, qry_c, qry_y) = rest
+            norm = jax.lax.rsqrt(jnp.maximum(deg, 1.0))[:, None]
+            graph = (h0, local_src, local_dst, local_mask,
+                     remote_src, remote_dst, remote_mask,
+                     send_idx, send_mask, norm)
+            p = _pvary_task(params)
+
+            def body(_, t):
+                return None, task_finetune(
+                    p, spt_c[t], spt_y[t], qry_c[t], qry_y[t], graph)
+            _, curves = jax.lax.scan(body, None,
+                                     jnp.arange(spt_c.shape[0]))
+            return curves                       # (T_local, K_test+1)
+
+        self._finetune = jax.jit(shard_map(
+            ft_shard_fn, mesh=mesh,
+            in_specs=(P(),) + graph_specs + task_specs,
+            out_specs=P("task")))
+
+    def finetune_batch(self, task: EdgePartTask, params=None) -> np.ndarray:
+        """(T, update_step_test+1) query-accuracy curves — the sharded
+        equivalent of MetaLearner.finetune_batch (val/test protocol,
+        train.py:115-141). `params` evaluates a snapshot (best model)."""
+        T = task.spt_centers.shape[0]
+        assert T % self.n_tasks_axis == 0, (T, self.n_tasks_axis)
+        task_shd = NamedSharding(self.mesh, P("task"))
+        args = tuple(
+            jax.device_put(jnp.asarray(np.asarray(a, np.int32)), task_shd)
+            for a in task)
+        p = self.params if params is None else params
+        return np.asarray(self._finetune(p, *self._graph_args, *args))
 
     def train_step(self, task: EdgePartTask):
         T = task.spt_centers.shape[0]

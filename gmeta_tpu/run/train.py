@@ -65,6 +65,16 @@ class Trainer:
             self.metrics.echo_line(
                 f"agg kernel: {agg} (bin fill "
                 f"{datasets['train'].mean_bin_fill:.2f})")
+        # Which kernel ran + the compiled bucket shapes, in the metric
+        # stream — perf regressions must be attributable (SURVEY.md §5.5).
+        self.agg = agg
+        tr = datasets["train"]
+        self.buckets = dict(P_spt=tr.P_spt, B_spt=tr.B_spt, E_spt=tr.E_spt,
+                            P_qry=tr.P_qry, B_qry=tr.B_qry, E_qry=tr.E_qry)
+        self.metrics.log("run_config", agg=agg,
+                         mean_bin_fill=round(tr.mean_bin_fill, 4),
+                         device_task_pool=cfg.device_task_pool,
+                         **self.buckets)
         self.learner = MetaLearner(
             self.spec, labels_num,
             update_lr=cfg.update_lr, meta_lr=cfg.meta_lr,
@@ -417,6 +427,12 @@ def main(argv=None):
                             default=None)
     ap.add_argument("--mesh_tasks", type=int, default=0,
                     help="shard the meta-batch over this many devices")
+    ap.add_argument("--mesh_edges", type=int, default=0,
+                    help="edge-partition the (union) graph over this many "
+                         "devices and train with the sharded full-graph "
+                         "engine (run/edgepart.py) instead of packed "
+                         "subgraphs; combines with --mesh_tasks for "
+                         "('task','edge') 2D meshes")
     args = ap.parse_args(argv)
 
     cfg = PRESETS[args.preset] if args.preset else Config()
@@ -426,6 +442,18 @@ def main(argv=None):
         if v is not None:
             setattr(cfg, f.name, v)
     cfg.validate()
+
+    if args.mesh_edges:
+        from gmeta_tpu.parallel.mesh import make_mesh
+        from gmeta_tpu.run.edgepart import (EdgePartTrainer,
+                                            build_edgepart_tasks)
+        mesh = make_mesh(task=max(args.mesh_tasks, 1),
+                         edge=args.mesh_edges)
+        store, tasks, labels_num = build_edgepart_tasks(cfg)
+        trainer = EdgePartTrainer(cfg, store, tasks, labels_num, mesh)
+        result = trainer.fit()
+        print(result)
+        return result
 
     mesh = None
     if args.mesh_tasks:

@@ -179,6 +179,11 @@ def run_recipe(name: str, args) -> dict:
         scaled["device_task_pool"] = True
     for k, v in scaled.items():
         setattr(cfg, k, v)
+    if args.checkpoint:
+        # resumable long runs: window-granular snapshots; a rerun of the
+        # same recipe picks up where a killed run stopped
+        cfg.checkpoint_dir = os.path.join(args.out, f"{name}.ckpt")
+        cfg.checkpoint_every_steps = 50
     os.makedirs(args.out, exist_ok=True)
     cfg.metrics_path = os.path.join(args.out, f"{name}.metrics.jsonl")
     if os.path.exists(cfg.metrics_path):
@@ -221,6 +226,9 @@ def run_recipe(name: str, args) -> dict:
                                           // cfg.task_num) * cfg.task_num,
         "params": n_params,
         "params_ref": ref["params"],
+        "agg": trainer.agg,
+        "buckets": trainer.buckets,
+        "mean_bin_fill": round(datasets["train"].mean_bin_fill, 4),
         "acc": {
             "test_acc_ref_style": round(result.test_acc_ref, 4),
             "test_acc_final_step": round(result.test_acc_final, 4),
@@ -265,8 +273,10 @@ def write_report(out_dir: str) -> None:
         "",
         "Each reference recipe (G-Meta/README.md:66-179) trained end-to-end"
         " through the production",
-        "driver (`gmeta_tpu/run/train.py`) with its exact `config.py` preset,"
-        " on the scale-faithful",
+        "driver (`gmeta_tpu/run/train.py`) with its `config.py` preset — any"
+        " deviation from the",
+        "preset is listed in the table's overrides column — on the"
+        " scale-faithful",
         "replica datasets of `scripts/make_replicas.py` (the real downloads —"
         " a Google Drive folder,",
         "README.md:183-186 — are unreachable from this environment; replicas"
@@ -283,12 +293,16 @@ def write_report(out_dir: str) -> None:
         "both reference-style numbers and the clean ones are reported.",
         "",
         "| recipe | params (=ref) | acc ref-style / final-step / best | ref"
-        " final / early | tasks/s (ref) | peak RSS GB (ref) | act parity"
-        " max|Δ| |",
-        "|---|---|---|---|---|---|---|",
+        " final / early | tasks/s (ref) | peak RSS GB (ref) | logit parity"
+        " max rel Δ | preset overrides |",
+        "|---|---|---|---|---|---|---|---|",
     ]
     for r in rows:
         a, ref = r["acc"], r["reference_acc"]
+        ov = {k: v for k, v in r.get("preset_overrides", {}).items()
+              if k not in ("eval_batchsz",)}
+        ov_s = (", ".join(f"{k}={v}" for k, v in ov.items())
+                if ov else "none")
         lines.append(
             f"| {r['recipe']} | {r['params']:,}"
             f" ({'=' if r['params'] == r['params_ref'] else '!='}) "
@@ -297,7 +311,8 @@ def write_report(out_dir: str) -> None:
             f"| {ref['final']:.3f} / {ref['early_stopped']:.3f} "
             f"| {r['tasks_per_s']:.1f} ({r['tasks_per_s_ref']}) "
             f"| {r['peak_rss_gb']:.1f} ({r['peak_rss_gb_ref']}) "
-            f"| {r['activation_parity']['max_rel_diff_logits']:.2e} |")
+            f"| {r['activation_parity']['max_rel_diff_logits']:.2e} "
+            f"| {ov_s} |")
     for name in pending:
         note = "pending (no run yet)"
         sup = os.path.join(out_dir, "superseded", f"{name}.json")
@@ -308,7 +323,7 @@ def write_report(out_dir: str) -> None:
                     f"{s['acc']['test_acc_final_step']:.3f}")
         lines.append(f"| {name} | — | {note} | "
                      f"{REF[name]['final']:.3f} / {REF[name]['early']:.3f}"
-                     " | — | — | — |")
+                     " | — | — | — | — |")
     lines += [
         "",
         "Per-recipe details (training length incl. any preset overrides,"
@@ -337,6 +352,9 @@ def main():
     ap.add_argument("--batchsz", type=int, default=0)
     ap.add_argument("--eval_batchsz", type=int, default=0)
     ap.add_argument("--device_task_pool", action="store_true")
+    ap.add_argument("--checkpoint", action="store_true",
+                    help="window-granular snapshots under <out>/<name>.ckpt;"
+                         " a rerun resumes a killed run")
     ap.add_argument("--replicas", default=os.path.join(ROOT, "replicas"))
     ap.add_argument("--out", default=os.path.join(ROOT, "parity"))
     ap.add_argument("--report", action="store_true")

@@ -156,3 +156,111 @@ def test_overlap_plan_partitions_all_edges():
     assert plan.comm_rows <= 4 * g.num_nodes
     # remote halo indices must be in range of the receive table
     assert plan.remote_src.max() < 4 * plan.M
+
+
+def test_edgepart_finetune_matches_oracle():
+    """The sharded finetune curve (val/test protocol) must equal the
+    unsharded inner loop evaluated step by step."""
+    store, _ = synthetic_store(1, 257, 6, 8, 3, seed=5)
+    g = store.graphs[0]
+    layer_dims = [(8, 16), (16, 16)]
+    head = (16, 3)
+    mesh = make_mesh(task=2, edge=4)
+    K = 4
+    tr = EdgePartMetaTrainer(layer_dims, head, 3, g=g,
+                             feats=store.features, mesh=mesh,
+                             update_lr=0.05, meta_lr=1e-3, update_step=2,
+                             update_step_test=K, seed=11)
+    o_params, _, _ = _oracle_trainer(
+        layer_dims, head, 3, g, store.features, False, 0.05, 1e-3, 2,
+        seed=11)
+
+    rng = np.random.RandomState(3)
+    task = _make_task(rng, g.num_nodes, 3, T=4, S=6, link_pred=False)
+    curves = tr.finetune_batch(task)
+    assert curves.shape == (4, K + 1)
+
+    # oracle curve, one task at a time
+    V = g.num_nodes
+    dst = jnp.asarray(np.repeat(np.arange(V), np.diff(g.indptr)))
+    src = jnp.asarray(g.indices.astype(np.int64))
+    deg = jnp.asarray(np.diff(g.indptr).astype(np.float32))
+    norm = jax.lax.rsqrt(jnp.maximum(deg, 1.0))[:, None]
+    feats = jnp.asarray(store.features, jnp.float32)
+
+    def embed(w):
+        h = feats
+        for i, _ in enumerate(layer_dims):
+            W, b = w[2 * i], w[2 * i + 1]
+            h = h * norm
+            agg = jax.ops.segment_sum(h[src], dst, num_segments=V,
+                                      indices_are_sorted=True)
+            h = jnp.dot(agg, W, preferred_element_type=jnp.float32)
+            h = h * norm + b
+            h = jax.nn.relu(h)
+        return h
+
+    def logits_of(w, centers):
+        emb = embed(w)
+        W, b = w[2 * len(layer_dims)], w[2 * len(layer_dims) + 1]
+        return jnp.dot(emb[centers[:, 0]], W.T,
+                       preferred_element_type=jnp.float32) + b
+
+    for t in range(4):
+        spt_c = jnp.asarray(task.spt_centers[t])
+        spt_y = jnp.asarray(task.spt_labels[t])
+        qry_c = jnp.asarray(task.qry_centers[t])
+        qry_y = jnp.asarray(task.qry_labels[t])
+
+        def spt_loss(w):
+            loss, _, protos = proto_loss_spt(logits_of(w, spt_c), spt_y, 3)
+            return loss, protos
+
+        def qry_acc(w, protos):
+            return proto_loss_qry(logits_of(w, qry_c), qry_y, protos)[1]
+
+        w = o_params
+        _, protos = spt_loss(w)
+        expect = [float(qry_acc(w, protos))]
+        for _ in range(K):
+            (_, protos), gr = jax.value_and_grad(spt_loss, has_aux=True)(w)
+            w = jax.tree.map(lambda a, b: a - 0.05 * b, w, gr)
+            expect.append(float(qry_acc(w, protos)))
+        np.testing.assert_allclose(curves[t], expect, rtol=1e-4, atol=1e-5)
+
+
+def test_edgepart_trainer_full_protocol(tmp_path):
+    """EdgePartTrainer runs the reference's whole protocol (epoch loop, val
+    early-stop, dual test, checkpoint) on an 8-device ('task','edge') mesh
+    over a multi-graph union, and a resumed run picks up the epoch count."""
+    from gmeta_tpu.config import Config
+    from gmeta_tpu.data.synthetic import synthetic_link_pred
+    from gmeta_tpu.run.edgepart import (EdgePartTrainer, episodes_to_tasks,
+                                        union_graph)
+
+    store, datasets = synthetic_link_pred(
+        num_graphs=5, nodes_per_graph=120, avg_degree=6, feat_dim=8,
+        k_spt=4, k_qry=4, batchsz=8, seed=2)
+    g = union_graph(store)
+    assert g.num_nodes == store.node_offsets[-1]
+    assert g.num_edges == sum(gr.num_edges for gr in store.graphs)
+
+    tasks = {m: episodes_to_tasks(ds.sampler, ds.labels, store, "Shared")
+             for m, ds in datasets.items()}
+    cfg = Config(task_setup="Shared", link_pred_mode=True, n_way=2,
+                 k_spt=4, k_qry=4, h=2, epoch=2, task_num=4, batchsz=8,
+                 hidden_dim=16, update_step=2, update_step_test=3,
+                 checkpoint_dir=str(tmp_path / "ck"),
+                 metrics_path=str(tmp_path / "m.jsonl"))
+    mesh = make_mesh(task=2, edge=4)
+    tr = EdgePartTrainer(cfg, store, tasks, 2, mesh)
+    assert tr.comm["comm_rows_per_layer"] < tr.comm["allgather_rows_per_layer"]
+    res = tr.fit()
+    assert res.epochs_run == 2
+    assert 0.0 <= res.test_acc_final <= 1.0
+    assert np.isfinite(res.val_max_acc)
+
+    # resume: a fresh trainer restores epoch/step and skips straight to done
+    tr2 = EdgePartTrainer(cfg, store, tasks, 2, mesh)
+    assert tr2.start_epoch == 2
+    assert tr2.global_step == res.global_step

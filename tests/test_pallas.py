@@ -131,6 +131,31 @@ def test_vmap_over_tasks():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_vmap_shared_adjacency_no_copy():
+    """vmap with a task-INVARIANT A must not materialize T copies of the
+    (S,P,P) adjacency: the batching rule folds the task axis into the
+    feature axis (the op is linear over feature columns) and binds the
+    shared A once. Checks numerics vs the per-task dense reference."""
+    T, S, P, H = 3, 2, 128, 8
+    rng = np.random.RandomState(7)
+    sizes = rng.randint(60, P + 1, S)
+    A, _, sz = _mk(S, P, H, sizes, seed=11)
+    h = jnp.asarray(rng.randn(T, S, P, H).astype(np.float32))
+    f = jax.vmap(lambda h: aggregate_sized(A, h, sz, True))
+    out = jax.jit(f)(h)
+    ref = jax.vmap(lambda h: aggregate_dense(A, h))(h)
+    mask = (np.arange(P)[None, :] < np.asarray(sz)[:, None]).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(out) * mask[None, :, :, None],
+        np.asarray(ref) * mask[None, :, :, None], rtol=1e-5, atol=1e-5)
+    # the folded bind must appear: trace and assert no (T,S,P,P) broadcast
+    jaxpr = jax.make_jaxpr(f)(h)
+    assert not any(
+        v.aval.shape[:2] == (T * S, P) and v.aval.shape[-1] == P
+        for eqn in jaxpr.jaxpr.eqns for v in eqn.outvars
+        if len(v.aval.shape) == 3), "adjacency was tiled per task"
+
+
 def test_meta_gradient_through_scan_of_grad():
     """Regression for the round-3 parity-probe crash on real TPU: the MAML
     meta-gradient — jax.grad through a lax.scan whose body itself calls
