@@ -52,8 +52,19 @@ class Config:
     device_task_pool: bool = False      # place the train task pool in HBM once
                                         # and scan train_result_report_steps
                                         # meta-steps per dispatch (amortizes
-                                        # host->device latency; needs the
-                                        # packed pool to fit HBM)
+                                        # host->device latency). Pools larger
+                                        # than pool_hbm_gb fall back to the
+                                        # host-resident windowed variant: the
+                                        # pool stays in host RAM and each
+                                        # K-step scan consumes one shipped
+                                        # window, transfer overlapped with
+                                        # the previous window's compute.
+    pool_hbm_gb: float = 4.0            # device-resident pool size cap; above
+                                        # it the windowed host pool runs
+    host_pool_window: int = 8           # meta-steps per shipped window in the
+                                        # host-pool mode (window bytes =
+                                        # K * task_num * task size; 8*32
+                                        # arxiv tasks ~= 620 MB)
     checkpoint_dir: str = ""            # empty = no checkpointing
     checkpoint_every_epochs: int = 1
     checkpoint_every_steps: int = 0     # 0 = epoch-granular only; N > 0 also

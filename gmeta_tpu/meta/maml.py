@@ -271,6 +271,24 @@ class MetaLearner:
             self.params, self.opt_state, self._pool, idx_mat, self._feats)
         return metrics
 
+    def put_window(self, chunk: TaskBatch):
+        """Async host->device transfer of a (K*task_num)-task window chunk
+        (the host-resident-pool path for pools too large for HBM: the full
+        pool stays in host RAM, each K-step scan consumes one shipped
+        window). Returns device handles immediately; the transfer overlaps
+        whatever the device is still executing."""
+        return jax.tree.map(lambda x: jax.device_put(jnp.asarray(x)), chunk)
+
+    def train_steps_from_window(self, chunk_dev, task_num: int):
+        """K meta-steps in one dispatch over an already-shipped window chunk
+        (leading axis = K*task_num). Reuses the pool scan program with the
+        chunk as the (small) pool and sequential indices."""
+        n = jax.tree.leaves(chunk_dev)[0].shape[0]
+        idx_mat = jnp.arange(n, dtype=jnp.int32).reshape(-1, task_num)
+        self.params, self.opt_state, metrics = self._train_many_pool(
+            self.params, self.opt_state, chunk_dev, idx_mat, self._feats)
+        return metrics
+
     def train_step(self, batch: TaskBatch):
         if self.mesh is not None:
             from gmeta_tpu.parallel.dp import shard_batch

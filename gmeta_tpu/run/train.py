@@ -123,14 +123,19 @@ class Trainer:
             f"resumed from {path} at epoch {self.start_epoch}"
             f" batch {self.start_batch}")
 
-    def _save(self, epoch: int, batch_in_epoch: int = -1):
+    def _save(self, epoch: int, batch_in_epoch: int = -1,
+              params=None, opt_state=None):
         """batch_in_epoch >= 0 marks a mid-epoch snapshot: `batch_in_epoch`
-        batches of this epoch are already consumed; -1 = epoch complete."""
+        batches of this epoch are already consumed; -1 = epoch complete.
+        `params`/`opt_state` override the learner's CURRENT handles — needed
+        by pipelined loops where the learner already holds the NEXT window's
+        dispatched state when the snapshot point is consumed."""
         if not self.cfg.checkpoint_dir:
             return
         ckpt.save(self.cfg.checkpoint_dir, self.global_step, {
-            "params": self.learner.params,
-            "opt_state": self.learner.opt_state,
+            "params": self.learner.params if params is None else params,
+            "opt_state": (self.learner.opt_state if opt_state is None
+                          else opt_state),
             "best_params": self.best_params,
             "max_acc": self.max_acc,
             "epoch": epoch,
@@ -257,10 +262,23 @@ class Trainer:
         shuffled task stream is chunked into report windows, each window
         running as ONE dispatch (lax.scan over meta-steps on device). The
         protocol (per-epoch val, early stopping, checkpointing, final tests)
-        is identical to the streaming path."""
+        is identical to the streaming path.
+
+        Pools above cfg.pool_hbm_gb (arxiv: 10,000 tasks x ~2.4 MB packed =
+        ~24 GB vs 16 GB of v5e HBM) switch to the host-resident windowed
+        variant (_fit_host_pool)."""
         cfg = self.cfg
         train = self.datasets["train"]
-        self.learner.set_task_pool(train.stacked_pool())
+        pool_np = train.stacked_pool()
+        pool_gb = sum(a.nbytes for a in jax.tree.leaves(pool_np)) / 1e9
+        if pool_gb > cfg.pool_hbm_gb:
+            self.metrics.echo_line(
+                f"task pool {pool_gb:.1f} GB > pool_hbm_gb={cfg.pool_hbm_gb}"
+                f" -> host-resident windowed pool"
+                f" ({cfg.host_pool_window}-step windows)")
+            return self._fit_host_pool(pool_np, t_start, mean_edges)
+        self.learner.set_task_pool(pool_np)
+        del pool_np
         n_tasks = len(train)
         steps_per_epoch = n_tasks // cfg.task_num
         window = max(1, min(cfg.train_result_report_steps, steps_per_epoch))
@@ -314,6 +332,89 @@ class Trainer:
                     # steps of this epoch are consumed
                     self._save(epoch, batch_in_epoch=start + int(chunk.shape[0]))
                     steps_since_save = 0
+
+            curves = self.evaluate("val")
+            acc_curve = curves.mean(axis=0)
+            self.metrics.echo_line(
+                f"Epoch: {epoch + 1}  Val acc: {acc_curve[-1]:.3f}")
+            self.metrics.log("val", epoch=epoch, step=self.global_step,
+                             acc_curve=acc_curve.tolist())
+            if acc_curve[-1] > self.max_acc:
+                self.max_acc = float(acc_curve[-1])
+                self.best_params = self.learner.params
+            if (epoch + 1) % cfg.checkpoint_every_epochs == 0:
+                self._save(epoch)
+
+        return self._final_test(t_start)
+
+    def _fit_host_pool(self, pool_np, t_start: float,
+                       mean_edges: float) -> "FitResult":
+        """Windowed host-resident pool: the packed pool lives in host RAM;
+        each K = cfg.host_pool_window meta-steps run as one device scan over
+        a window chunk shipped by an ASYNC device_put. The metric fetch for
+        window N-1 happens after window N's transfer+compute are enqueued,
+        so the host gather + transfer of a window overlap the previous
+        window's device execution (depth-1 pipeline, like the streaming
+        path — but with zero per-step packing and K-step dispatch
+        amortization)."""
+        cfg = self.cfg
+        train = self.datasets["train"]
+        n_tasks = len(train)
+        steps_per_epoch = n_tasks // cfg.task_num
+        window = max(1, min(cfg.host_pool_window, steps_per_epoch))
+
+        def gather(rows):
+            flat = rows.reshape(-1)
+            return jax.tree.map(lambda x: x[flat], pool_np)
+
+        steps_since_save = 0
+        for epoch in range(self.start_epoch, cfg.epoch):
+            rng = np.random.RandomState(cfg.seed + epoch)
+            order = rng.permutation(n_tasks)[:steps_per_epoch * cfg.task_num]
+            idx_mat = order.reshape(steps_per_epoch, cfg.task_num)
+            win_t = time.time()
+            skip = self.start_batch if epoch == self.start_epoch else 0
+            pending = None   # (start, n_steps, metrics, params, opt_state)
+
+            def consume(p, epoch=epoch):
+                nonlocal win_t, steps_since_save
+                start, n_steps, m, params_h, opt_h = p
+                accs = np.asarray(m["accs"])[-1]       # blocks on window
+                dt = max(time.time() - win_t, 1e-9)
+                win_t = time.time()
+                tasks_per_s = n_steps * cfg.task_num / dt
+                self.global_step += n_steps
+                self.metrics.echo_line(
+                    f"Epoch: {epoch + 1}  Step: {start + n_steps}  training"
+                    f" acc: {accs[-1]:.3f}  tasks/s: {tasks_per_s:.1f}")
+                self.metrics.log(
+                    "train_window", epoch=epoch, step=self.global_step,
+                    acc_curve=accs.tolist(),
+                    meta_loss=float(np.asarray(m["meta_loss"])[-1]),
+                    nan_skip=int(np.asarray(m["nan_skip"]).sum()),
+                    tasks_per_s=round(tasks_per_s, 2),
+                    edges_per_s=round(tasks_per_s * mean_edges, 1),
+                    rss_gb=rss_gb())
+                steps_since_save += n_steps
+                if (cfg.checkpoint_every_steps
+                        and steps_since_save >= cfg.checkpoint_every_steps):
+                    # params_h/opt_h are THIS window's post-step handles; the
+                    # learner may already hold the next window's
+                    self._save(epoch, batch_in_epoch=start + n_steps,
+                               params=params_h, opt_state=opt_h)
+                    steps_since_save = 0
+
+            for start in range(skip, steps_per_epoch, window):
+                rows = idx_mat[start:start + window]
+                chunk_dev = self.learner.put_window(gather(rows))   # async
+                m = self.learner.train_steps_from_window(
+                    chunk_dev, cfg.task_num)                        # async
+                if pending is not None:
+                    consume(pending)
+                pending = (start, int(rows.shape[0]), m,
+                           self.learner.params, self.learner.opt_state)
+            if pending is not None:
+                consume(pending)
 
             curves = self.evaluate("val")
             acc_curve = curves.mean(axis=0)

@@ -1,0 +1,181 @@
+"""Aggregation-kernel crossover measurement at the five recipes' REAL
+compiled bucket shapes (VERDICT r3 item 4: "measure, then switch").
+
+For each recipe's support and query buckets (B bins x P slots, E edge
+budget, H = the layer's aggregated width under the matmul-order switch,
+models/gcn.py:158-169), times on the real chip:
+
+  dense    XLA batched matmul (B,P,P)@(B,P,H)      [production default]
+  sized    Pallas size-aware kernel (skips dead 128-row tiles per bin fill)
+  segment  edge-list gather + segment_sum (E x H messages)
+  ell      ELLPACK slab gather (row_cap=16)
+
+fwd and fwd+bwd(d/dh), f32 and bf16 for the matmul paths. Each timing is a
+per-LAYER aggregation cost; the meta-train step runs it
+~2*(update_step*(fwd+bwd)) times on the support bucket and a handful on the
+query bucket, so the bucket that dominates wall-clock is whichever product
+is larger — the table prints both.
+
+Writes kernels.json + a markdown table to stdout.
+
+Run (real TPU): python scripts/bench_kernels.py [--iters 30]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from gmeta_tpu.ops.pallas_spmm import aggregate_sized  # noqa: E402
+from gmeta_tpu.ops.spmm import (aggregate, aggregate_dense,  # noqa: E402
+                                aggregate_ell, build_ell)
+
+# (P, B, E) buckets per recipe/set: the compiled shapes of the round-3/4
+# parity runs (BENCH_r03.json / parity/*.json), with the layer's aggregated
+# width H = min(input_dim, hidden) per the matmul-order switch and the
+# split's measured mean bin fill.
+SHAPES = {
+    "arxiv":      dict(spt=(1024, 9, 18432), qry=(1024, 72, 129024),
+                       H=(128, 256), fill=0.93),
+    "tissue_ppi": dict(spt=(1024, 6, 49152), qry=(1024, 20, 149504),
+                       H=(50, 128), fill=0.90),
+    "fold_ppi":   dict(spt=(1024, 9, 18432), qry=(1024, 61, 114688),
+                       H=(128, 128), fill=0.90),
+    "firstmm_db": dict(spt=(128, 4, 2048), qry=(128, 7, 2048),
+                       H=(5, 128), fill=0.75),
+    "tree_of_life": dict(spt=(128, 14, 4096), qry=(256, 7, 4096),
+                         H=(1, 256), fill=0.60),
+}
+
+
+def synth_bucket(P, B, E, H, fill, rng, avg_deg=10):
+    """One packed bucket: B bins with ~fill*P live rows, E edges uniform
+    over live slots (block-diagonal), h random."""
+    sizes = np.clip((rng.normal(fill, 0.1, B) * P).astype(int), 16, P)
+    A = np.zeros((B, P, P), np.float32)
+    srcs, dsts = [], []
+    per_bin = max(E // B, 1)
+    for b in range(B):
+        n = sizes[b]
+        m = min(per_bin, n * avg_deg)
+        s = rng.randint(0, n, m)
+        d = rng.randint(0, n, m)
+        A[b, d, s] += 1.0
+        srcs.append(b * P + s)
+        dsts.append(b * P + d)
+    src = np.concatenate(srcs)[:E]
+    dst = np.concatenate(dsts)[:E]
+    pad = E - len(src)
+    if pad:
+        src = np.concatenate([src, np.zeros(pad, np.int64)])
+        dst = np.concatenate([dst, np.full(pad, B * P - 1, np.int64)])
+    order = np.argsort(dst, kind="stable")
+    src, dst = src[order], dst[order]
+    mask = np.ones(E, np.float32)
+    mask[np.asarray(dst) == B * P - 1] = 0.0   # crude: treat pad-dst as pad
+    h = rng.randn(B, P, H).astype(np.float32)
+    return A, h, sizes.astype(np.int32), src.astype(np.int32), \
+        dst.astype(np.int32), mask
+
+
+def timeit(f, *args, iters=30):
+    o = jax.block_until_ready(f(*args))
+    t0 = time.time()
+    for _ in range(iters):
+        o = f(*args)
+    jax.block_until_ready(o)
+    return (time.time() - t0) / iters
+
+
+def bench_bucket(P, B, E, H, fill, iters, rng):
+    A, h, sizes, src, dst, mask = synth_bucket(P, B, E, H, fill, rng)
+    out = {}
+    V = B * P
+
+    for name, dtype in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
+        Ad = jnp.asarray(A, dtype)
+        hd = jnp.asarray(h, dtype)
+        szd = jnp.asarray(sizes)
+        dense = jax.jit(lambda A, h: aggregate_dense(A, h))
+        out[f"dense_{name}_fwd"] = timeit(dense, Ad, hd, iters=iters)
+        g = jax.jit(jax.grad(lambda A, h: (aggregate_dense(A, h) ** 2).sum(),
+                             argnums=1))
+        out[f"dense_{name}_bwd"] = timeit(g, Ad, hd, iters=iters)
+        if P % 128 == 0 and jax.default_backend() == "tpu":
+            sized = jax.jit(lambda A, h, s: aggregate_sized(A, h, s))
+            out[f"sized_{name}_fwd"] = timeit(sized, Ad, hd, szd,
+                                              iters=iters)
+            gs = jax.jit(jax.grad(
+                lambda A, h, s: (aggregate_sized(A, h, s) ** 2).sum(),
+                argnums=1))
+            out[f"sized_{name}_bwd"] = timeit(gs, Ad, hd, szd, iters=iters)
+
+    hf = jnp.asarray(h.reshape(V, H))
+    srcd, dstd, maskd = jnp.asarray(src), jnp.asarray(dst), jnp.asarray(mask)
+    seg = jax.jit(lambda h, s, d, m: aggregate(h, s, d, m, V))
+    out["segment_f32_fwd"] = timeit(seg, hf, srcd, dstd, maskd, iters=iters)
+    gseg = jax.jit(jax.grad(
+        lambda h, s, d, m: (aggregate(h, s, d, m, V) ** 2).sum(), argnums=0))
+    out["segment_f32_bwd"] = timeit(gseg, hf, srcd, dstd, maskd, iters=iters)
+
+    nbr, emask, row_id = build_ell(src[mask > 0], dst[mask > 0], V,
+                                   row_cap=16)
+    nbrd, emaskd, rowd = (jnp.asarray(nbr), jnp.asarray(emask),
+                          jnp.asarray(row_id))
+    ell = jax.jit(lambda h, n, m, r: aggregate_ell(h, n, m, r, V))
+    out["ell_f32_fwd"] = timeit(ell, hf, nbrd, emaskd, rowd, iters=iters)
+    return {k: round(v * 1e6, 1) for k, v in out.items()}   # microseconds
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--out", default=os.path.join(ROOT, "kernels.json"))
+    args = ap.parse_args()
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(ROOT, ".jax_cache"))
+    rng = np.random.RandomState(0)
+
+    results = {"backend": jax.default_backend(), "unit": "us_per_layer_call"}
+    for recipe, cfg in SHAPES.items():
+        for which, H in (("spt", cfg["H"][0]), ("qry", cfg["H"][1])):
+            P, B, E = cfg[which]
+            key = f"{recipe}.{which}"
+            print(f"# {key}: P={P} B={B} E={E} H={H}", file=sys.stderr,
+                  flush=True)
+            results[key] = dict(P=P, B=B, E=E, H=H,
+                                **bench_bucket(P, B, E, H, cfg["fill"],
+                                               args.iters, rng))
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=1)
+
+    # markdown table: fastest valid kernel per bucket
+    print("| bucket | dense f32 | dense bf16 | sized f32 | sized bf16 |"
+          " segment | ell | winner |")
+    print("|---|---|---|---|---|---|---|---|")
+    for key, r in results.items():
+        if not isinstance(r, dict):
+            continue
+        cols = ["dense_f32_fwd", "dense_bf16_fwd", "sized_f32_fwd",
+                "sized_bf16_fwd", "segment_f32_fwd", "ell_f32_fwd"]
+        vals = [r.get(c) for c in cols]
+        winner = min((v, c) for v, c in zip(vals, cols) if v is not None)
+        print("| " + key + " | "
+              + " | ".join("-" if v is None else f"{v:.0f}" for v in vals)
+              + f" | {winner[1].replace('_fwd', '')} |")
+    print(json.dumps({"metric": "kernel_crossover", "out": args.out}))
+
+
+if __name__ == "__main__":
+    main()

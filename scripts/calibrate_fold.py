@@ -1,0 +1,77 @@
+"""Train-in-the-loop calibration of the fold_ppi replica (VERDICT r3 item 2).
+
+The numpy proxy (calibrate_replicas.py, LDA/prototype accuracy in A_hat^2 X
+space) brackets trained-GCN accuracy but landed the fold_ppi replica 15+
+points below the reference band twice (parity/superseded/). Root cause: the
+proxy scores SEEN-class separability, while the recipe's number is
+UNSEEN-class (Disjoint) transfer after meta-training — the gap between the
+two is exactly what the proxy cannot see. So calibrate with the thing
+itself: for each candidate of the class-signal knob, generate the
+full-scale replica, train it through the production driver at probe length
+(3 epochs, batchsz<=400 — fold converges fast; the committed full run
+improved only 0.38->0.43 over 5x more tasks), and fit the knob that puts
+probe accuracy at the reference target. The final full-preset parity run
+then validates the chosen knob end-to-end.
+
+Usage: python scripts/calibrate_fold.py [--signals 0.22,0.26,0.32]
+       [--target 0.578] [--out parity_cal]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+sys.path.insert(0, os.path.join(ROOT, "scripts"))
+
+from make_replicas import make_fold_ppi  # noqa: E402
+import run_parity  # noqa: E402
+
+
+def probe_once(signal: float, out_dir: str, keep_replica: bool = False,
+               noise: float = 0.50, assort: float = 0.5) -> dict:
+    rep_root = os.path.join(out_dir, f"s{signal:.3f}")
+    rep = os.path.join(rep_root, "fold_ppi")
+    if not os.path.exists(os.path.join(rep, "graphs.npz")):
+        print(f"# generating fold_ppi replica signal={signal}", flush=True)
+        make_fold_ppi(rep, signal=signal, noise=noise, assort=assort)
+    args = argparse.Namespace(
+        probe=True, epoch=0, batchsz=0, eval_batchsz=0,
+        device_task_pool=False, checkpoint=False,
+        replicas=rep_root, out=os.path.join(out_dir, f"res_s{signal:.3f}"))
+    res = run_parity.run_recipe("fold_ppi", args)
+    if not keep_replica:
+        shutil.rmtree(rep, ignore_errors=True)
+    return res
+
+
+def main():
+    ap = argparse.ArgumentParser("calibrate_fold")
+    ap.add_argument("--signals", default="0.22,0.27,0.33")
+    ap.add_argument("--target", type=float, default=0.578)
+    ap.add_argument("--out", default=os.path.join(ROOT, "parity_cal"))
+    args = ap.parse_args()
+    os.makedirs(args.out, exist_ok=True)
+
+    rows = []
+    for s in [float(x) for x in args.signals.split(",")]:
+        res = probe_once(s, args.out)
+        acc = res["acc"]["test_acc_final_step"]
+        rows.append({"signal": s, "probe_acc": acc,
+                     "best": res["acc"]["best_model_acc"],
+                     "ref_style": res["acc"]["test_acc_ref_style"]})
+        print(f"# signal={s}: probe acc {acc:.3f} (target {args.target})",
+              flush=True)
+
+    with open(os.path.join(args.out, "fold_sweep.json"), "w") as f:
+        json.dump({"target": args.target, "rows": rows}, f, indent=1)
+    print(json.dumps(rows))
+
+
+if __name__ == "__main__":
+    main()

@@ -229,3 +229,71 @@ def test_multiworker_stream_matches_inline(tmp_path):
     for a, b in zip(inline, threaded):
         for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
             np.testing.assert_array_equal(x, y)
+
+
+def test_host_pool_matches_device_pool(tmp_path):
+    """The host-resident windowed pool (pool > pool_hbm_gb) must produce
+    BIT-IDENTICAL training to the device-resident pool: same epoch-seeded
+    step stream, same scan program, only the pool's residence differs."""
+    store, ds = synthetic_disjoint(num_graphs=1, nodes_per_graph=150,
+                                   avg_degree=5, feat_dim=8, num_classes=9,
+                                   n_way=3, k_spt=3, k_qry=4, batchsz=12,
+                                   h=2, sample_nodes=60, seed=3)
+    base = Config(n_way=3, k_spt=3, k_qry=4, h=2, hidden_dim=8, epoch=2,
+                  task_num=4, update_step=2, update_step_test=2,
+                  eval_batchsz=6, device_task_pool=True,
+                  train_result_report_steps=2)
+    tr_dev = Trainer(dataclasses.replace(base), store, ds, labels_num=3)
+    r_dev = tr_dev.fit()
+
+    # pool_hbm_gb=0 forces the host-windowed variant; window=2 steps
+    cfg = dataclasses.replace(base, pool_hbm_gb=0.0, host_pool_window=2,
+                              metrics_path=str(tmp_path / "hp.jsonl"))
+    tr_host = Trainer(cfg, store, ds, labels_num=3)
+    r_host = tr_host.fit()
+
+    for a, b in zip(tr_dev.learner.params, tr_host.learner.params):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=0)
+    assert r_host.global_step == r_dev.global_step
+    assert abs(r_host.test_acc_final - r_dev.test_acc_final) < 1e-9
+    # the fallback is recorded in the metric stream
+    lines = [json.loads(l) for l in open(cfg.metrics_path)]
+    assert any(l["kind"] == "train_window" for l in lines)
+
+
+def test_host_pool_midepoch_resume(tmp_path):
+    """Killing a host-pool run mid-epoch and resuming reproduces the
+    straight run (window-granular batch_in_epoch snapshots)."""
+    store, ds = synthetic_disjoint(num_graphs=1, nodes_per_graph=150,
+                                   avg_degree=5, feat_dim=8, num_classes=9,
+                                   n_way=3, k_spt=3, k_qry=4, batchsz=16,
+                                   h=2, sample_nodes=60, seed=3)
+    base = Config(n_way=3, k_spt=3, k_qry=4, h=2, hidden_dim=8, epoch=1,
+                  task_num=4, update_step=2, update_step_test=2,
+                  eval_batchsz=6, device_task_pool=True, pool_hbm_gb=0.0,
+                  host_pool_window=2, train_result_report_steps=2)
+    straight = Trainer(dataclasses.replace(base), store, ds, labels_num=3)
+    straight.fit()
+
+    # checkpoint every 2 steps = every window; stop after epoch "0.5" by
+    # restoring from the first mid-epoch snapshot
+    cfg1 = dataclasses.replace(base, checkpoint_dir=str(tmp_path / "ck"),
+                               checkpoint_every_steps=2)
+    t1 = Trainer(cfg1, store, ds, labels_num=3)
+    t1.fit()
+    # wipe all but the FIRST snapshot to simulate a mid-epoch kill
+    d = cfg1.checkpoint_dir
+    snaps = sorted(f for f in os.listdir(d) if f.startswith("ckpt_"))
+    for f in snaps[1:]:
+        os.remove(os.path.join(d, f))
+    latest = os.path.join(d, "latest")
+    os.remove(latest)
+    os.symlink(snaps[0], latest)
+
+    t2 = Trainer(cfg1, store, ds, labels_num=3)
+    assert t2.start_batch > 0          # mid-epoch re-entry
+    t2.fit()
+    for a, b in zip(straight.learner.params, t2.learner.params):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=0)
