@@ -59,8 +59,14 @@ class Config:
                                         # K-step scan consumes one shipped
                                         # window, transfer overlapped with
                                         # the previous window's compute.
-    pool_hbm_gb: float = 4.0            # device-resident pool size cap; above
-                                        # it the windowed host pool runs
+    pool_hbm_gb: float = 1.0            # device-resident pool size cap; above
+                                        # it the windowed host pool runs.
+                                        # Conservative on purpose: XLA's pool
+                                        # gather inside the scan body kept ~4
+                                        # full-pool temp copies (measured ToL
+                                        # OOM: a ~3.5 GB pool compiled to 23
+                                        # GB of HBM), so the real HBM cost is
+                                        # ~6x the pool's nbytes
     host_pool_window: int = 8           # meta-steps per shipped window in the
                                         # host-pool mode (window bytes =
                                         # K * task_num * task size; 8*32

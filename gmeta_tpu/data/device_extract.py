@@ -37,6 +37,24 @@ centers and running 2 rounds produces exactly that union.
 All shapes are static; overflow of any budget (full-set width, gather
 budget, edge budget) is returned as a per-center flag so callers can route
 those rare centers to the host path instead of silently truncating.
+
+STATUS — correctness oracle, NOT the production extractor. Measured on the
+real chip (BENCH_r03/r04 "extraction"): this path does ~6 extractions/s vs
+~1,160/s for the threaded C++ engine (native/extract.cpp) that
+data/pipeline.py actually uses. The gap is structural, not a tuning
+problem: extraction is pointer-chasing — each frontier round is a data-
+dependent gather over a ~32k-wide candidate set followed by a sort-based
+dedup, and TPU row gathers sustain ~36 GB/s effective (measured in
+scripts/bench_edges.py) against a host L2-resident traversal, while the
+MXU, the only fast unit, has nothing to multiply. Batching more centers
+per call amortizes dispatch but not the per-round sort volume, which
+scales with C * width and stays VPU/HBM-bound — closing a 200x gap to
+within 2x of the C++ engine is not reachable on this workload class. Kept
+because (a) it proves h-hop semantics under jit BIT-EQUAL to the host
+oracle (tests/test_device_extract.py), and (b) it is the building block
+for a future fully-resident pipeline where subgraphs never touch the host
+(edge-partitioned training, parallel/edgepart_train.py, is the path that
+actually removes host extraction at scale).
 """
 
 from __future__ import annotations

@@ -173,6 +173,11 @@ def run_recipe(name: str, args) -> dict:
         scaled["epoch"] = args.epoch
     if args.batchsz:
         scaled["batchsz"] = args.batchsz
+    if args.task_n:
+        # Tissue-PPI protocol: the reference averages 2-fold CV over task_n
+        # values (README.md:92-112; test.ipynb cell 1 runs task_n=4 only) —
+        # sweeping task_n shows the result is not a single-task artifact
+        scaled["task_n"] = args.task_n
     if args.eval_batchsz:
         scaled["eval_batchsz"] = args.eval_batchsz
     if args.device_task_pool:
@@ -185,7 +190,8 @@ def run_recipe(name: str, args) -> dict:
         cfg.checkpoint_dir = os.path.join(args.out, f"{name}.ckpt")
         cfg.checkpoint_every_steps = 50
     os.makedirs(args.out, exist_ok=True)
-    cfg.metrics_path = os.path.join(args.out, f"{name}.metrics.jsonl")
+    cfg.metrics_path = os.path.join(args.out,
+                                    f"{name}{args.tag}.metrics.jsonl")
     if os.path.exists(cfg.metrics_path):
         os.remove(cfg.metrics_path)
     cfg.validate()
@@ -250,7 +256,7 @@ def run_recipe(name: str, args) -> dict:
         "total_s_ref": ref["total_s"],
         "activation_parity": act,
     }
-    path = os.path.join(args.out, f"{name}.json")
+    path = os.path.join(args.out, f"{name}{args.tag}.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
@@ -352,6 +358,10 @@ def main():
     ap.add_argument("--batchsz", type=int, default=0)
     ap.add_argument("--eval_batchsz", type=int, default=0)
     ap.add_argument("--device_task_pool", action="store_true")
+    ap.add_argument("--task_n", type=int, default=0,
+                    help="tissue_ppi: which shared task to train (sweep)")
+    ap.add_argument("--tag", default="",
+                    help="suffix for the output json (e.g. _task2)")
     ap.add_argument("--checkpoint", action="store_true",
                     help="window-granular snapshots under <out>/<name>.ckpt;"
                          " a rerun resumes a killed run")
