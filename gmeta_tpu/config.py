@@ -83,6 +83,13 @@ class Config:
                                         # (telemetry only, meta.py:129-157;
                                         # False trains identically ~2x faster)
     extractor: str = "auto"             # 'auto' | 'native' | 'numpy' host extraction
+    extract_disk_cache: bool = True     # persist native-engine extractions
+                                        # next to the dataset (~25 min saved
+                                        # per rerun at ToL scale); keyed by
+                                        # (h, sample_nodes, cap, graphs-file
+                                        # identity), native engine only (its
+                                        # cap RNG is content-derived, so
+                                        # partial caches compose bit-exactly)
     agg: str = "auto"                   # aggregation kernel: 'auto' picks per
                                         # split from bin-fill stats
                                         # (pipeline.suggested_agg); 'dense' =

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import os
 import time
 from typing import Dict, Optional
 
@@ -469,11 +470,22 @@ def build_datasets(cfg: Config):
                    task_mode=cfg.task_mode, task_n=cfg.task_n)
     use_native = (cfg.extractor == "native"
                   or (cfg.extractor == "auto" and native.available()))
+    cache_file = None
     if use_native:
         extractor = native.NativeSubgraphExtractor(
             data.store.graphs, h=cfg.h, sample_nodes=cfg.sample_nodes,
             seed=cfg.seed, n_threads=max(cfg.num_workers, 0),
             cap_strategy=cfg.cap_strategy)
+        if cfg.extract_disk_cache:
+            # sound only for the native engine: its cap RNG is content-
+            # derived per name, so partial caches compose bit-exactly
+            from gmeta_tpu.data import extract_cache
+            cache_file = extract_cache.cache_path(
+                cfg.data_dir, cfg.h, cfg.sample_nodes, cfg.cap_strategy)
+            if os.path.exists(cache_file):
+                extractor.cache.update(extract_cache.load(cache_file))
+                print(f"extraction cache: {len(extractor.cache)} subgraphs "
+                      f"from {cache_file}")
     else:
         extractor = SubgraphExtractor(
             data.store.graphs, h=cfg.h, sample_nodes=cfg.sample_nodes,
@@ -509,6 +521,20 @@ def build_datasets(cfg: Config):
             batchsz=cfg.batchsz if mode == "train" else cfg.eval_batchsz,
             index_spt=split.get("spt"), index_qry=split.get("qry"),
             seed=cfg.seed + salt[mode], dense_labels=dense)
+    if cache_file is not None:
+        import glob as _glob
+        from gmeta_tpu.data import extract_cache
+        known = 0
+        if os.path.exists(cache_file):
+            known = len(np.load(cache_file, allow_pickle=False)["names"])
+        if len(extractor.cache) > known:
+            for stale in _glob.glob(os.path.join(
+                    cfg.data_dir, ".extract_cache_*.npz")):
+                if stale != cache_file:
+                    os.remove(stale)
+            extract_cache.save(cache_file, extractor.cache)
+            print(f"extraction cache: wrote {len(extractor.cache)} "
+                  f"subgraphs to {cache_file}")
     # output dim: Disjoint -> n_way; Shared -> total class count
     # (train.py:58-61)
     labels_num = cfg.n_way if cfg.task_setup == "Disjoint" else data.total_class

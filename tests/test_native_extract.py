@@ -126,3 +126,43 @@ def test_degree_cap_all_equal_degrees():
         got = sorted(zip(b.edge_src.tolist(), b.edge_dst.tolist()))
         want = sorted(zip(a.edge_src.tolist(), a.edge_dst.tolist()))
         assert got == want
+
+
+def test_disk_cache_roundtrip(tmp_path):
+    """extract_cache round-trips bit-exactly and a warmed extractor's
+    results equal a cold one's (native RNG is content-derived)."""
+    import os
+    import numpy as np
+    from gmeta_tpu.data import extract_cache, native
+    from gmeta_tpu.data.graph import synthetic_store
+    if not native.available():
+        import pytest
+        pytest.skip("native engine not built")
+
+    store, _ = synthetic_store(2, 300, 6, 8, 3, seed=7)
+    ex = native.NativeSubgraphExtractor(store.graphs, h=2, sample_nodes=64,
+                                        seed=1)
+    names = [f"{g}_{i}" for g in range(2) for i in range(0, 300, 17)]
+    ex.extract_many(names)
+    path = str(tmp_path / "cache.npz")
+    extract_cache.save(path, ex.cache)
+
+    loaded = extract_cache.load(path)
+    assert set(loaded) == set(ex.cache)
+    for n in names:
+        a, b = ex.cache[n], loaded[n]
+        np.testing.assert_array_equal(a.parents, b.parents)
+        np.testing.assert_array_equal(a.centers, b.centers)
+        np.testing.assert_array_equal(a.edge_src, b.edge_src)
+        np.testing.assert_array_equal(a.edge_dst, b.edge_dst)
+
+    # a fresh extractor warmed with HALF the cache produces identical
+    # results for the other half (order-invariance of the content RNG)
+    ex2 = native.NativeSubgraphExtractor(store.graphs, h=2, sample_nodes=64,
+                                         seed=1)
+    half = {n: loaded[n] for n in names[: len(names) // 2]}
+    ex2.cache.update(half)
+    for n in names[len(names) // 2:]:
+        got = ex2.extract(n)
+        np.testing.assert_array_equal(got.parents, ex.cache[n].parents)
+        np.testing.assert_array_equal(got.edge_src, ex.cache[n].edge_src)
