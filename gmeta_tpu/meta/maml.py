@@ -212,16 +212,43 @@ class MetaLearner:
             return train_step(params, opt_state, batch, feats)
 
         def train_many_pool(params, opt_state, pool, idx_mat, feats):
-            # K meta-steps per dispatch: lax.scan over a (K, task_num) index
-            # matrix, params/opt-state carried on device. Amortizes dispatch
-            # latency (the tunnel round-trip dominates small steps) to ~0.
-            def body(carry, idxs):
+            # K meta-steps per dispatch: lax.scan over the K gathered
+            # meta-batches, params/opt-state carried on device. Amortizes
+            # dispatch latency (the tunnel round-trip dominates small steps)
+            # to ~0. The pool gather happens ONCE, OUTSIDE the loop: a
+            # pool[idxs] inside the scan body makes XLA carry the pool
+            # through the while-loop and materialize full-pool temp copies
+            # (measured: a 3.5 GB ToL pool compiled to 23 GB HBM and OOMed);
+            # gathered-outside, the loop only carries the (K, T, ...) window.
+            K, T = idx_mat.shape
+            batches = jax.tree.map(
+                lambda x: x[idx_mat.reshape(-1)].reshape(
+                    (K, T) + x.shape[1:]), pool)
+
+            def body(carry, batch):
                 p, o = carry
-                batch = _constrain_tasks(jax.tree.map(lambda x: x[idxs], pool))
-                p, o, metrics = train_step(p, o, batch, feats)
+                p, o, metrics = train_step(p, o, _constrain_tasks(batch),
+                                           feats)
                 return (p, o), metrics
             (params, opt_state), ms = jax.lax.scan(
-                body, (params, opt_state), idx_mat)
+                body, (params, opt_state), batches)
+            return params, opt_state, ms
+
+        def train_many_seq(params, opt_state, buf, feats):
+            # Windowed host-pool fast path: the window arrives as ONE
+            # contiguous int32 buffer (see put_window_buffer) — a single
+            # tunnel transfer instead of one per pytree leaf, which is what
+            # the ~30 MB/s-effective tunnel makes of per-leaf device_puts.
+            # Decode (static slices + bitcasts, HBM-speed) then scan the K
+            # meta-batches directly; no pool, no gather.
+            batches = self._decode_window(buf)
+            def body(carry, batch):
+                p, o = carry
+                p, o, metrics = train_step(p, o, _constrain_tasks(batch),
+                                           feats)
+                return (p, o), metrics
+            (params, opt_state), ms = jax.lax.scan(
+                body, (params, opt_state), batches)
             return params, opt_state, ms
 
         if mesh is not None:
@@ -233,10 +260,12 @@ class MetaLearner:
             self._finetune = jax.jit(finetune)
         self._train_step_pool = jax.jit(train_step_pool)
         self._train_many_pool = jax.jit(train_many_pool)
+        self._train_many_seq = jax.jit(train_many_seq)
         self._finetune_batch = jax.jit(finetune_batch)
 
         self._feats = None
         self._pool = None
+        self._codec = None   # (treedef, shapes, dtypes, offsets, sizes)
 
     # -- host-facing API -----------------------------------------------------
 
@@ -271,22 +300,100 @@ class MetaLearner:
             self.params, self.opt_state, self._pool, idx_mat, self._feats)
         return metrics
 
-    def put_window(self, chunk: TaskBatch):
-        """Async host->device transfer of a (K*task_num)-task window chunk
-        (the host-resident-pool path for pools too large for HBM: the full
-        pool stays in host RAM, each K-step scan consumes one shipped
-        window). Returns device handles immediately; the transfer overlaps
-        whatever the device is still executing."""
-        return jax.tree.map(lambda x: jax.device_put(jnp.asarray(x)), chunk)
+    # -- window wire format ----------------------------------------------
+    #
+    # The host-pool path ships packed windows through the TPU tunnel, whose
+    # effective throughput (~30 MB/s measured) makes wire bytes the
+    # production bottleneck. Three reductions, all lossless:
+    #   1. ONE contiguous int32 buffer per window (one transfer, not one
+    #      per pytree leaf).
+    #   2. masks are never shipped: pack_set places live node rows at
+    #      [0, bin_fill) and real edges at [0, n_edges), so node_mask =
+    #      iota < bin_fill and edge_mask = iota < n_edges, reconstructed
+    #      on device for free.
+    #   3. edge endpoints pack into one int32 (src | dst << 16) whenever
+    #      B*P <= 32768 — pad slots use dst = B*P-1, so the guard is on
+    #      B*P itself. Halves edge bytes (the dominant term).
 
-    def train_steps_from_window(self, chunk_dev, task_num: int):
-        """K meta-steps in one dispatch over an already-shipped window chunk
-        (leading axis = K*task_num). Reuses the pool scan program with the
-        chunk as the (small) pool and sequential indices."""
-        n = jax.tree.leaves(chunk_dev)[0].shape[0]
-        idx_mat = jnp.arange(n, dtype=jnp.int32).reshape(-1, task_num)
-        self.params, self.opt_state, metrics = self._train_many_pool(
-            self.params, self.opt_state, chunk_dev, idx_mat, self._feats)
+    def _encode_set(self, sg, K, T, parts, shapes):
+        B, P = sg.node_gid.shape[-2:]
+        E = sg.edge_src.shape[-1]
+        pack16 = B * P <= (1 << 15)
+        n_edges = sg.edge_mask.reshape(K * T, E).sum(axis=1).astype(np.int32)
+        parts.append(np.ascontiguousarray(sg.node_gid).ravel())
+        if pack16:
+            packed = (sg.edge_src.astype(np.int32)
+                      | (sg.edge_dst.astype(np.int32) << 16))
+            parts.append(np.ascontiguousarray(packed).ravel())
+        else:
+            parts.append(np.ascontiguousarray(sg.edge_src).ravel())
+            parts.append(np.ascontiguousarray(sg.edge_dst).ravel())
+        parts.append(np.ascontiguousarray(sg.centers).ravel())
+        parts.append(np.ascontiguousarray(sg.labels).ravel())
+        parts.append(np.ascontiguousarray(sg.bin_fill).ravel())
+        parts.append(n_edges)
+        S = sg.centers.shape[-2]
+        shapes.append((B, P, E, S, pack16))
+
+    def _decode_set(self, buf, off, K, T, meta):
+        from gmeta_tpu.data.pack import SubgraphSet
+        B, P, E, S, pack16 = meta
+
+        def take(n, shape):
+            nonlocal off
+            x = buf[off:off + n]
+            off += n
+            return x.reshape((K, T) + shape)
+
+        node_gid = take(K * T * B * P, (B, P))
+        if pack16:
+            packed = take(K * T * E, (E,))
+            edge_src = packed & 0xFFFF
+            edge_dst = packed >> 16     # arithmetic ok: dst < 2^15
+        else:
+            edge_src = take(K * T * E, (E,))
+            edge_dst = take(K * T * E, (E,))
+        centers = take(K * T * S * 2, (S, 2))
+        labels = take(K * T * S, (S,))
+        bin_fill = take(K * T * B, (B,))
+        n_edges = take(K * T, ())
+        node_mask = (jax.lax.broadcasted_iota(jnp.int32, (K, T, B, P), 3)
+                     < bin_fill[..., None]).astype(jnp.float32)
+        edge_mask = (jax.lax.broadcasted_iota(jnp.int32, (K, T, E), 2)
+                     < n_edges[..., None]).astype(jnp.float32)
+        return SubgraphSet(node_gid=node_gid, node_mask=node_mask,
+                           edge_src=edge_src, edge_dst=edge_dst,
+                           edge_mask=edge_mask, centers=centers,
+                           labels=labels, bin_fill=bin_fill), off
+
+    def _decode_window(self, buf):
+        """Traced: flat int32 window buffer -> (K, task_num, ...) TaskBatch.
+        Static slices + integer unpacking + mask reconstruction — all
+        HBM-speed on device."""
+        K, T, spt_meta, qry_meta = self._codec
+        spt, off = self._decode_set(buf, 0, K, T, spt_meta)
+        qry, off = self._decode_set(buf, off, K, T, qry_meta)
+        return TaskBatch(spt=spt, qry=qry)
+
+    def put_window(self, chunk: TaskBatch, task_num: int):
+        """Async host->device transfer of a (K*task_num)-task window chunk
+        in the compact wire format above. Returns the device handle
+        immediately; the transfer overlaps whatever the device is still
+        executing."""
+        K = chunk.spt.node_gid.shape[0] // task_num
+        T = task_num
+        parts, shapes = [], []
+        self._encode_set(chunk.spt, K, T, parts, shapes)
+        self._encode_set(chunk.qry, K, T, parts, shapes)
+        self._codec = (K, T, shapes[0], shapes[1])
+        buf = np.concatenate([p.astype(np.int32, copy=False) for p in parts])
+        return jax.device_put(jnp.asarray(buf))
+
+    def train_steps_from_window(self, buf_dev, task_num: int):
+        """K meta-steps in one dispatch over an already-shipped window
+        buffer (put_window)."""
+        self.params, self.opt_state, metrics = self._train_many_seq(
+            self.params, self.opt_state, buf_dev, self._feats)
         return metrics
 
     def train_step(self, batch: TaskBatch):

@@ -407,7 +407,8 @@ class Trainer:
 
             for start in range(skip, steps_per_epoch, window):
                 rows = idx_mat[start:start + window]
-                chunk_dev = self.learner.put_window(gather(rows))   # async
+                chunk_dev = self.learner.put_window(
+                    gather(rows), cfg.task_num)                     # async
                 m = self.learner.train_steps_from_window(
                     chunk_dev, cfg.task_num)                        # async
                 if pending is not None:
