@@ -311,19 +311,35 @@ class MetaLearner:
     #      [0, bin_fill) and real edges at [0, n_edges), so node_mask =
     #      iota < bin_fill and edge_mask = iota < n_edges, reconstructed
     #      on device for free.
-    #   3. edge endpoints pack into one int32 (src | dst << 16) whenever
-    #      B*P <= 32768 — pad slots use dst = B*P-1, so the guard is on
-    #      B*P itself. Halves edge bytes (the dominant term).
+    #   3. edge endpoints pack into ONE int32. Edges never cross bins (the
+    #      packed adjacency is block-diagonal, pack.py), so (bin,
+    #      src_local, dst_local) pins both flat endpoints; it fits whenever
+    #      2*ceil(log2 P) + ceil(log2 B) <= 31 — true for every recipe's
+    #      buckets (P <= 1024, B <= 72). Halves edge bytes (the dominant
+    #      term). Pad slots (mask 0 downstream) get src := dst's bin base,
+    #      which keeps decoded indices in-range.
+
+    @staticmethod
+    def _edge_bits(B: int, P: int):
+        bits_p = max(int(np.ceil(np.log2(max(P, 2)))), 1)
+        bits_b = max(int(np.ceil(np.log2(max(B, 2)))), 1)
+        return (bits_p if 2 * bits_p + bits_b <= 31 else 0)
 
     def _encode_set(self, sg, K, T, parts, shapes):
         B, P = sg.node_gid.shape[-2:]
         E = sg.edge_src.shape[-1]
-        pack16 = B * P <= (1 << 15)
+        bits_p = self._edge_bits(B, P)
         n_edges = sg.edge_mask.reshape(K * T, E).sum(axis=1).astype(np.int32)
         parts.append(np.ascontiguousarray(sg.node_gid).ravel())
-        if pack16:
-            packed = (sg.edge_src.astype(np.int32)
-                      | (sg.edge_dst.astype(np.int32) << 16))
+        if bits_p:
+            dst = sg.edge_dst.astype(np.int32)
+            bin_id = dst // P
+            dst_l = dst - bin_id * P
+            # real edges share the dst's bin; pad edges (src=0, dst=V-1)
+            # don't — clip is exact for real edges, in-range for pads
+            src_l = np.clip(sg.edge_src.astype(np.int32) - bin_id * P,
+                            0, P - 1)
+            packed = src_l | (dst_l << bits_p) | (bin_id << (2 * bits_p))
             parts.append(np.ascontiguousarray(packed).ravel())
         else:
             parts.append(np.ascontiguousarray(sg.edge_src).ravel())
@@ -333,11 +349,11 @@ class MetaLearner:
         parts.append(np.ascontiguousarray(sg.bin_fill).ravel())
         parts.append(n_edges)
         S = sg.centers.shape[-2]
-        shapes.append((B, P, E, S, pack16))
+        shapes.append((B, P, E, S, bits_p))
 
     def _decode_set(self, buf, off, K, T, meta):
         from gmeta_tpu.data.pack import SubgraphSet
-        B, P, E, S, pack16 = meta
+        B, P, E, S, bits_p = meta
 
         def take(n, shape):
             nonlocal off
@@ -346,10 +362,12 @@ class MetaLearner:
             return x.reshape((K, T) + shape)
 
         node_gid = take(K * T * B * P, (B, P))
-        if pack16:
+        if bits_p:
             packed = take(K * T * E, (E,))
-            edge_src = packed & 0xFFFF
-            edge_dst = packed >> 16     # arithmetic ok: dst < 2^15
+            mask_p = (1 << bits_p) - 1
+            base = (packed >> (2 * bits_p)) * P     # bin * P, non-negative
+            edge_src = base + (packed & mask_p)
+            edge_dst = base + ((packed >> bits_p) & mask_p)
         else:
             edge_src = take(K * T * E, (E,))
             edge_dst = take(K * T * E, (E,))
