@@ -393,19 +393,26 @@ class MetaLearner:
         qry, off = self._decode_set(buf, off, K, T, qry_meta)
         return TaskBatch(spt=spt, qry=qry)
 
-    def put_window(self, chunk: TaskBatch, task_num: int):
-        """Async host->device transfer of a (K*task_num)-task window chunk
-        in the compact wire format above. Returns the device handle
-        immediately; the transfer overlaps whatever the device is still
-        executing."""
+    def encode_window(self, chunk: TaskBatch, task_num: int):
+        """Host-side: (K*task_num)-task window chunk -> (flat int32 buffer,
+        codec). Pure numpy — safe to run on a producer thread so the
+        gather+encode work overlaps device transfer AND compute."""
         K = chunk.spt.node_gid.shape[0] // task_num
         T = task_num
         parts, shapes = [], []
         self._encode_set(chunk.spt, K, T, parts, shapes)
         self._encode_set(chunk.qry, K, T, parts, shapes)
-        self._codec = (K, T, shapes[0], shapes[1])
         buf = np.concatenate([p.astype(np.int32, copy=False) for p in parts])
+        return buf, (K, T, shapes[0], shapes[1])
+
+    def put_buffer(self, buf: np.ndarray, codec):
+        """Async host->device transfer of an encoded window buffer."""
+        self._codec = codec
         return jax.device_put(jnp.asarray(buf))
+
+    def put_window(self, chunk: TaskBatch, task_num: int):
+        """encode_window + put_buffer in one call (inline path)."""
+        return self.put_buffer(*self.encode_window(chunk, task_num))
 
     def train_steps_from_window(self, buf_dev, task_num: int):
         """K meta-steps in one dispatch over an already-shipped window

@@ -21,6 +21,8 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import os
+import queue
+import threading
 import time
 from typing import Dict, Optional
 
@@ -405,18 +407,43 @@ class Trainer:
                                params=params_h, opt_state=opt_h)
                     steps_since_save = 0
 
-            for start in range(skip, steps_per_epoch, window):
-                rows = idx_mat[start:start + window]
-                chunk_dev = self.learner.put_window(
-                    gather(rows), cfg.task_num)                     # async
+            # Producer thread prepares window buffers (pool gather + wire
+            # encode, pure numpy) ahead of the main thread's dispatch loop,
+            # so host encode overlaps BOTH the previous window's transfer
+            # and its compute. Queue depth 2 bounds staged memory.
+            starts = list(range(skip, steps_per_epoch, window))
+            q: "queue.Queue" = queue.Queue(maxsize=2)
+
+            def produce():
+                try:
+                    for start in starts:
+                        rows = idx_mat[start:start + window]
+                        buf, codec = self.learner.encode_window(
+                            gather(rows), cfg.task_num)
+                        q.put((start, int(rows.shape[0]), buf, codec))
+                    q.put(None)
+                except BaseException as e:  # noqa: BLE001 — re-raised below
+                    q.put(e)
+
+            th = threading.Thread(target=produce, daemon=True)
+            th.start()
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                start, n_steps, buf, codec = item
+                dev = self.learner.put_buffer(buf, codec)           # async
                 m = self.learner.train_steps_from_window(
-                    chunk_dev, cfg.task_num)                        # async
+                    dev, cfg.task_num)                              # async
                 if pending is not None:
                     consume(pending)
-                pending = (start, int(rows.shape[0]), m,
+                pending = (start, n_steps, m,
                            self.learner.params, self.learner.opt_state)
             if pending is not None:
                 consume(pending)
+            th.join()
 
             curves = self.evaluate("val")
             acc_curve = curves.mean(axis=0)
