@@ -109,11 +109,13 @@ def bench_shape(name: str, s: dict) -> dict:
                  link_pred_mode=(s["kind"] == "link"),
                  task_setup="Shared" if s["kind"] != "disjoint" else "Disjoint")
     spec = build_model_config(cfg, store.feat_dim, n_out)
+    # same kernel selection the production Trainer makes (agg='auto')
+    agg = train.suggested_agg
     ml = MetaLearner(spec, n_out, update_lr=0.01, meta_lr=1e-3,
                      update_step=s["update_step"],
                      update_step_test=s["update_step"],
                      remat=False, compute_dtype=jnp.bfloat16, seed=0,
-                     track_curve=False)
+                     track_curve=False, agg=agg)
     ml.set_features(store.features)
     ml.set_task_pool(train.stacked_pool())
 
@@ -151,6 +153,7 @@ def bench_shape(name: str, s: dict) -> dict:
     pad_waste = slots / max(mean_edges, 1.0)
     return {
         "tasks_per_s": round(tasks_per_s, 2),
+        "agg": agg,
         "vs_baseline": round(tasks_per_s / s["baseline"], 2),
         "edges_per_s": round(tasks_per_s * mean_edges, 1),
         "mfu": round(flops_total / dt / PEAK_FLOPS_BF16, 4),
