@@ -59,6 +59,19 @@ class Config:
                                         # K-step scan consumes one shipped
                                         # window, transfer overlapped with
                                         # the previous window's compute.
+    compact_pool_hbm_gb: float = 10.0   # HBM budget for the COMPACT resident
+                                        # pool (no masks, packed edges, ~2.5x
+                                        # smaller than the full packed pool;
+                                        # decoded per window on device). The
+                                        # first choice under device_task_pool;
+                                        # pools above it fall to the host-
+                                        # windowed variant.
+    task_vmap_chunk: int = -1           # per-step task-vmap chunk (lax.map
+                                        # batch_size): bounds live densified
+                                        # adjacencies to chunk * (B*P^2) * 4B.
+                                        # -1 = auto (~2.5 GB of live A), 0 =
+                                        # full vmap, N > 0 = explicit. Ignored
+                                        # with a task-DP mesh.
     pool_hbm_gb: float = 1.0            # device-resident pool size cap; above
                                         # it the windowed host pool runs.
                                         # Conservative on purpose: XLA's pool

@@ -135,12 +135,32 @@ class MetaLearner:
                  update_step: int, update_step_test: int,
                  first_order: bool = True, compute_dtype=jnp.float32,
                  remat: bool = False, seed: int = 222,
-                 mesh=None, track_curve: bool = True, agg: str = "dense"):
+                 mesh=None, track_curve: bool = True, agg: str = "dense",
+                 task_chunk: int = 0):
         self.layer_spec = layer_spec
         self.params = init_params(jax.random.PRNGKey(seed), layer_spec)
         self.tx = optax.adam(meta_lr)  # torch.optim.Adam defaults (meta.py:97)
         self.opt_state = self.tx.init(self.params)
         self.mesh = mesh
+        # task_chunk > 0 bounds the per-step HBM workspace: the task vmap
+        # becomes lax.map(batch_size=task_chunk), so only `task_chunk`
+        # tasks' densified adjacencies are ever live at once (arxiv: 32
+        # vmapped query sets = 32 x 72 x 1024^2 f32 = 9.7 GB; chunked at 8
+        # that is 2.4 GB). Math is unchanged — lax.map stacks results like
+        # vmap. Only meaningful without a mesh (a sequential map over a
+        # sharded task axis would serialize the DP groups).
+        assert not (task_chunk and mesh is not None), \
+            "task_chunk is incompatible with a task-DP mesh"
+        self.task_chunk = task_chunk
+
+        def vmap_tasks(fn):
+            def run(params, batch, feats):
+                if task_chunk:
+                    return jax.lax.map(lambda t: fn(params, t, feats),
+                                       batch, batch_size=task_chunk)
+                return jax.vmap(fn, in_axes=(None, 0, None))(
+                    params, batch, feats)
+            return run
 
         train_inner = make_inner_loop(
             layer_spec, proto_classes, update_lr, update_step,
@@ -152,8 +172,7 @@ class MetaLearner:
             agg=agg)
 
         def meta_loss_fn(params, batch: TaskBatch, feats):
-            losses, aux = jax.vmap(
-                train_inner, in_axes=(None, 0, None))(params, batch, feats)
+            losses, aux = vmap_tasks(train_inner)(params, batch, feats)
             return losses.mean(), aux
 
         def train_step(params, opt_state, batch, feats):
@@ -185,8 +204,7 @@ class MetaLearner:
             # val/test DataLoader loop (train.py:115-121,129-134) with one
             # dispatch; the deepcopy there is unnecessary here since params
             # are immutable.
-            _, aux = jax.vmap(test_inner, in_axes=(None, 0, None))(
-                params, batch, feats)
+            _, aux = vmap_tasks(test_inner)(params, batch, feats)
             return aux.qry_accs
 
         if mesh is not None:
@@ -234,6 +252,32 @@ class MetaLearner:
                 body, (params, opt_state), batches)
             return params, opt_state, ms
 
+        def train_many_compact(params, opt_state, cpool, idx_mat, feats):
+            # HBM-resident pool in COMPACT form (no masks, packed edge
+            # endpoints — ~2.5x smaller than the full packed pool), decoded
+            # per window by one gather + integer unpacking. The gather runs
+            # OUTSIDE the scan (see train_many_pool), so the pool is never
+            # carried through the while-loop. Per-step host->device traffic:
+            # the (K, T) index matrix.
+            K, T = idx_mat.shape
+            flat = idx_mat.reshape(-1)
+
+            def dec(leaves, meta):
+                g = [l[flat].reshape((K, T) + l.shape[1:]) for l in leaves]
+                return self._build_set(g, meta, (K, T))
+
+            batches = TaskBatch(spt=dec(cpool[0], self._cmeta[0]),
+                                qry=dec(cpool[1], self._cmeta[1]))
+
+            def body(carry, batch):
+                p, o = carry
+                p, o, metrics = train_step(p, o, _constrain_tasks(batch),
+                                           feats)
+                return (p, o), metrics
+            (params, opt_state), ms = jax.lax.scan(
+                body, (params, opt_state), batches)
+            return params, opt_state, ms
+
         def train_many_seq(params, opt_state, buf, feats):
             # Windowed host-pool fast path: the window arrives as ONE
             # contiguous int32 buffer (see put_window_buffer) — a single
@@ -261,11 +305,14 @@ class MetaLearner:
         self._train_step_pool = jax.jit(train_step_pool)
         self._train_many_pool = jax.jit(train_many_pool)
         self._train_many_seq = jax.jit(train_many_seq)
+        self._train_many_compact = jax.jit(train_many_compact)
         self._finetune_batch = jax.jit(finetune_batch)
 
         self._feats = None
         self._pool = None
-        self._codec = None   # (treedef, shapes, dtypes, offsets, sizes)
+        self._codec = None   # window wire codec (K, T, spt_meta, qry_meta)
+        self._cpool = None   # compact device-resident pool leaves
+        self._cmeta = None   # (spt_meta, qry_meta) for the compact pool
 
     # -- host-facing API -----------------------------------------------------
 
@@ -351,8 +398,36 @@ class MetaLearner:
         S = sg.centers.shape[-2]
         shapes.append((B, P, E, S, bits_p))
 
-    def _decode_set(self, buf, off, K, T, meta):
+    @staticmethod
+    def _build_set(leaves, meta, lead):
+        """Compact leaves (node_gid, edges..., centers, labels, bin_fill,
+        n_edges) with leading dims `lead` -> full SubgraphSet: unpack edge
+        endpoints, reconstruct both masks."""
         from gmeta_tpu.data.pack import SubgraphSet
+        B, P, E, S, bits_p = meta
+        it = iter(leaves)
+        node_gid = next(it)
+        if bits_p:
+            packed = next(it)
+            mask_p = (1 << bits_p) - 1
+            base = (packed >> (2 * bits_p)) * P     # bin * P, non-negative
+            edge_src = base + (packed & mask_p)
+            edge_dst = base + ((packed >> bits_p) & mask_p)
+        else:
+            edge_src, edge_dst = next(it), next(it)
+        centers, labels, bin_fill, n_edges = it
+        nd = len(lead)
+        node_mask = (jax.lax.broadcasted_iota(
+            jnp.int32, lead + (B, P), nd + 1)
+            < bin_fill[..., None]).astype(jnp.float32)
+        edge_mask = (jax.lax.broadcasted_iota(jnp.int32, lead + (E,), nd)
+                     < n_edges[..., None]).astype(jnp.float32)
+        return SubgraphSet(node_gid=node_gid, node_mask=node_mask,
+                           edge_src=edge_src, edge_dst=edge_dst,
+                           edge_mask=edge_mask, centers=centers,
+                           labels=labels, bin_fill=bin_fill)
+
+    def _decode_set(self, buf, off, K, T, meta):
         B, P, E, S, bits_p = meta
 
         def take(n, shape):
@@ -361,28 +436,15 @@ class MetaLearner:
             off += n
             return x.reshape((K, T) + shape)
 
-        node_gid = take(K * T * B * P, (B, P))
+        leaves = [take(K * T * B * P, (B, P))]
         if bits_p:
-            packed = take(K * T * E, (E,))
-            mask_p = (1 << bits_p) - 1
-            base = (packed >> (2 * bits_p)) * P     # bin * P, non-negative
-            edge_src = base + (packed & mask_p)
-            edge_dst = base + ((packed >> bits_p) & mask_p)
+            leaves.append(take(K * T * E, (E,)))
         else:
-            edge_src = take(K * T * E, (E,))
-            edge_dst = take(K * T * E, (E,))
-        centers = take(K * T * S * 2, (S, 2))
-        labels = take(K * T * S, (S,))
-        bin_fill = take(K * T * B, (B,))
-        n_edges = take(K * T, ())
-        node_mask = (jax.lax.broadcasted_iota(jnp.int32, (K, T, B, P), 3)
-                     < bin_fill[..., None]).astype(jnp.float32)
-        edge_mask = (jax.lax.broadcasted_iota(jnp.int32, (K, T, E), 2)
-                     < n_edges[..., None]).astype(jnp.float32)
-        return SubgraphSet(node_gid=node_gid, node_mask=node_mask,
-                           edge_src=edge_src, edge_dst=edge_dst,
-                           edge_mask=edge_mask, centers=centers,
-                           labels=labels, bin_fill=bin_fill), off
+            leaves.append(take(K * T * E, (E,)))
+            leaves.append(take(K * T * E, (E,)))
+        leaves += [take(K * T * S * 2, (S, 2)), take(K * T * S, (S,)),
+                   take(K * T * B, (B,)), take(K * T, ())]
+        return self._build_set(leaves, meta, (K, T)), off
 
     def _decode_window(self, buf):
         """Traced: flat int32 window buffer -> (K, task_num, ...) TaskBatch.
@@ -392,6 +454,62 @@ class MetaLearner:
         spt, off = self._decode_set(buf, 0, K, T, spt_meta)
         qry, off = self._decode_set(buf, off, K, T, qry_meta)
         return TaskBatch(spt=spt, qry=qry)
+
+    def _encode_set_leaves(self, sg):
+        """Host: SubgraphSet with leading task axis -> (compact leaves,
+        meta). Same format as the window wire, kept as separate (N, ...)
+        arrays for device-side gathering."""
+        B, P = sg.node_gid.shape[-2:]
+        E = sg.edge_src.shape[-1]
+        bits_p = self._edge_bits(B, P)
+        n_edges = sg.edge_mask.sum(axis=-1).astype(np.int32)
+        leaves = [np.ascontiguousarray(sg.node_gid)]
+        if bits_p:
+            dst = sg.edge_dst.astype(np.int32)
+            bin_id = dst // P
+            src_l = np.clip(sg.edge_src.astype(np.int32) - bin_id * P,
+                            0, P - 1)
+            leaves.append(src_l | ((dst - bin_id * P) << bits_p)
+                          | (bin_id << (2 * bits_p)))
+        else:
+            leaves.append(np.ascontiguousarray(sg.edge_src))
+            leaves.append(np.ascontiguousarray(sg.edge_dst))
+        leaves += [np.ascontiguousarray(sg.centers),
+                   np.ascontiguousarray(sg.labels),
+                   np.ascontiguousarray(sg.bin_fill), n_edges]
+        S = sg.centers.shape[-2]
+        return [np.asarray(l, np.int32) for l in leaves], (B, P, E, S, bits_p)
+
+    @staticmethod
+    def compact_pool_bytes(pool: TaskBatch) -> int:
+        """Compact-form size of a stacked pool, without encoding it."""
+        def one(sg):
+            N, B, P = sg.node_gid.shape
+            E = sg.edge_src.shape[-1]
+            S = sg.centers.shape[-2]
+            edge_words = E if MetaLearner._edge_bits(B, P) else 2 * E
+            return N * 4 * (B * P + edge_words + 3 * S + B + 1)
+        return one(pool.spt) + one(pool.qry)
+
+    def set_task_pool_compact(self, pool: TaskBatch):
+        """Place the pool in HBM in compact form (~2.5x smaller than the
+        full packed pool: no masks, single-int32 edge endpoints). Train
+        windows then gather+decode on device; steady-state host->device
+        traffic is the index matrix only."""
+        spt_leaves, m_spt = self._encode_set_leaves(pool.spt)
+        qry_leaves, m_qry = self._encode_set_leaves(pool.qry)
+        self._cmeta = (m_spt, m_qry)
+        self._cpool = (
+            tuple(jax.device_put(jnp.asarray(l)) for l in spt_leaves),
+            tuple(jax.device_put(jnp.asarray(l)) for l in qry_leaves))
+
+    def train_steps_from_compact(self, idx_mat):
+        """idx_mat.shape[0] meta-steps in one dispatch over the compact
+        device-resident pool."""
+        idx_mat = jnp.asarray(np.asarray(idx_mat), dtype=jnp.int32)
+        self.params, self.opt_state, metrics = self._train_many_compact(
+            self.params, self.opt_state, self._cpool, idx_mat, self._feats)
+        return metrics
 
     def encode_window(self, chunk: TaskBatch, task_num: int):
         """Host-side: (K*task_num)-task window chunk -> (flat int32 buffer,

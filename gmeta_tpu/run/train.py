@@ -74,9 +74,23 @@ class Trainer:
         tr = datasets["train"]
         self.buckets = dict(P_spt=tr.P_spt, B_spt=tr.B_spt, E_spt=tr.E_spt,
                             P_qry=tr.P_qry, B_qry=tr.B_qry, E_qry=tr.E_qry)
+        # task-vmap chunking: bound the live densified adjacencies
+        # (chunk * (B_spt*P_spt^2 + B_qry*P_qry^2) * 4B) to ~2.5 GB —
+        # without it an arxiv-shape 32-task vmap holds 10+ GB of query A
+        task_chunk = cfg.task_vmap_chunk
+        a_bytes = 4 * (tr.B_spt * tr.P_spt ** 2 + tr.B_qry * tr.P_qry ** 2)
+        if task_chunk < 0 and mesh is None:
+            fit = max(1, int(2.5e9 // max(a_bytes, 1)))
+            task_chunk = 0 if fit >= cfg.task_num else fit
+        elif task_chunk < 0 or mesh is not None:
+            task_chunk = 0
+        if task_chunk:
+            self.metrics.echo_line(f"task vmap chunked at {task_chunk}"
+                                   f" (per-task A = {a_bytes/1e6:.0f} MB)")
         self.metrics.log("run_config", agg=agg,
                          mean_bin_fill=round(tr.mean_bin_fill, 4),
                          device_task_pool=cfg.device_task_pool,
+                         task_chunk=task_chunk,
                          **self.buckets)
         self.learner = MetaLearner(
             self.spec, labels_num,
@@ -84,7 +98,8 @@ class Trainer:
             update_step=cfg.update_step, update_step_test=cfg.update_step_test,
             first_order=cfg.first_order, compute_dtype=compute_dtype,
             remat=cfg.remat_inner, seed=cfg.seed, mesh=mesh,
-            track_curve=cfg.track_train_curve, agg=agg)
+            track_curve=cfg.track_train_curve, agg=agg,
+            task_chunk=task_chunk)
         self.learner.set_features(store.features)
         self.metrics.echo_line(
             f"Total trainable tensors: {count_params(self.learner.params)}")
@@ -273,14 +288,19 @@ class Trainer:
         cfg = self.cfg
         train = self.datasets["train"]
         pool_np = train.stacked_pool()
-        pool_gb = sum(a.nbytes for a in jax.tree.leaves(pool_np)) / 1e9
-        if pool_gb > cfg.pool_hbm_gb:
+        compact_gb = MetaLearner.compact_pool_bytes(pool_np) / 1e9
+        if compact_gb <= cfg.compact_pool_hbm_gb:
             self.metrics.echo_line(
-                f"task pool {pool_gb:.1f} GB > pool_hbm_gb={cfg.pool_hbm_gb}"
+                f"compact task pool resident in HBM ({compact_gb:.1f} GB)")
+            self.learner.set_task_pool_compact(pool_np)
+            step_fn = self.learner.train_steps_from_compact
+        else:
+            self.metrics.echo_line(
+                f"compact pool {compact_gb:.1f} GB >"
+                f" compact_pool_hbm_gb={cfg.compact_pool_hbm_gb}"
                 f" -> host-resident windowed pool"
                 f" ({cfg.host_pool_window}-step windows)")
             return self._fit_host_pool(pool_np, t_start, mean_edges)
-        self.learner.set_task_pool(pool_np)
         del pool_np
         n_tasks = len(train)
         steps_per_epoch = n_tasks // cfg.task_num
@@ -306,7 +326,7 @@ class Trainer:
                 chunk = idx_mat[start:start + window]
                 if chunks_done == prof_chunk:
                     jax.profiler.start_trace(cfg.profile_dir)
-                m = self.learner.train_steps_from_pool(chunk)
+                m = step_fn(chunk)
                 accs = np.asarray(m["accs"])[-1]  # sync point
                 if chunks_done == prof_chunk:
                     jax.profiler.stop_trace()

@@ -330,6 +330,26 @@ def write_report(out_dir: str) -> None:
         lines.append(f"| {name} | — | {note} | "
                      f"{REF[name]['final']:.3f} / {REF[name]['early']:.3f}"
                      " | — | — | — | — |")
+    # tissue_ppi task_n sweep (reference protocol averages 2-fold CV over
+    # tasks, README.md:92-112; test.ipynb cell 1 runs task_n=4): tagged
+    # runs land as tissue_ppi_task<N>.json
+    import glob as _glob
+    sweep = sorted(_glob.glob(os.path.join(out_dir, "tissue_ppi_task*.json")))
+    if sweep:
+        lines += ["", "Tissue-PPI per-task sweep (the main-table row is the"
+                  " reference's own task_n=4; the sweep shows the result is"
+                  " not a single-task artifact):", "",
+                  "| task_n | acc ref-style / final-step / best | tasks/s |",
+                  "|---|---|---|"]
+        for p in sweep:
+            with open(p) as f:
+                s = json.load(f)
+            tn = s.get("preset_overrides", {}).get("task_n", "?")
+            a = s["acc"]
+            lines.append(
+                f"| {tn} | {a['test_acc_ref_style']:.3f} /"
+                f" {a['test_acc_final_step']:.3f} /"
+                f" {a['best_model_acc']:.3f} | {s['tasks_per_s']:.1f} |")
     lines += [
         "",
         "Per-recipe details (training length incl. any preset overrides,"

@@ -191,7 +191,8 @@ def test_device_pool_midepoch_kill_resume(tmp_path):
     class _Kill(Exception):
         pass
 
-    orig = tr_k.learner.train_steps_from_pool
+    # the pool path now prefers the compact-resident form; patch that
+    orig = tr_k.learner.train_steps_from_compact
     calls = {"n": 0}
 
     def killing_steps(idx_mat):
@@ -200,7 +201,7 @@ def test_device_pool_midepoch_kill_resume(tmp_path):
         calls["n"] += 1
         return orig(idx_mat)
 
-    tr_k.learner.train_steps_from_pool = killing_steps
+    tr_k.learner.train_steps_from_compact = killing_steps
     try:
         tr_k.fit()
         raise AssertionError("expected _Kill")
@@ -297,3 +298,33 @@ def test_host_pool_midepoch_resume(tmp_path):
     for a, b in zip(straight.learner.params, t2.learner.params):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=0, atol=0)
+
+
+def test_compact_pool_and_task_chunk_match_streaming(tmp_path):
+    """The compact HBM-resident pool AND the task-vmap chunking must both
+    reproduce the plain streaming path's training bit-for-bit: identical
+    decode (masks reconstructed, edges unpacked) and identical math
+    (lax.map stacks like vmap)."""
+    store, ds = synthetic_disjoint(num_graphs=1, nodes_per_graph=150,
+                                   avg_degree=5, feat_dim=8, num_classes=9,
+                                   n_way=3, k_spt=3, k_qry=4, batchsz=12,
+                                   h=2, sample_nodes=60, seed=3)
+    base = Config(n_way=3, k_spt=3, k_qry=4, h=2, hidden_dim=8, epoch=2,
+                  task_num=4, update_step=2, update_step_test=2,
+                  eval_batchsz=6, train_result_report_steps=2)
+    tr_s = Trainer(dataclasses.replace(base), store, ds, labels_num=3)
+    r_s = tr_s.fit()
+
+    cfg_c = dataclasses.replace(base, device_task_pool=True,
+                                task_vmap_chunk=3,   # non-divisor of 4
+                                metrics_path=str(tmp_path / "c.jsonl"))
+    tr_c = Trainer(cfg_c, store, ds, labels_num=3)
+    r_c = tr_c.fit()
+    assert tr_c.learner._cpool is not None      # compact path engaged
+    lines = [json.loads(l) for l in open(cfg_c.metrics_path)]
+    assert any(l["kind"] == "train_window" for l in lines)
+
+    for a, b in zip(tr_s.learner.params, tr_c.learner.params):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+    assert abs(r_s.test_acc_final - r_c.test_acc_final) < 1e-6
