@@ -301,10 +301,19 @@ class Trainer:
                 f" -> host-resident windowed pool"
                 f" ({cfg.host_pool_window}-step windows)")
             return self._fit_host_pool(pool_np, t_start, mean_edges)
+        # The scan gathers+decodes its whole window's batches up front
+        # (gather-outside-loop, see train_many_compact), so the window must
+        # be byte-bounded: K * task_num * full-form task bytes <= ~1 GB,
+        # not the 200-step report cadence (arxiv: 200 x 32 x 2.4 MB would
+        # be 15 GB of decoded windows next to the 9.5 GB pool).
+        task_bytes = (sum(a.nbytes for a in jax.tree.leaves(pool_np))
+                      / max(len(train), 1))
+        byte_cap = max(1, int(1e9 // max(task_bytes * cfg.task_num, 1)))
         del pool_np
         n_tasks = len(train)
         steps_per_epoch = n_tasks // cfg.task_num
-        window = max(1, min(cfg.train_result_report_steps, steps_per_epoch))
+        window = max(1, min(cfg.train_result_report_steps, steps_per_epoch,
+                            byte_cap))
         # profiler window: trace the second dispatched chunk (first includes
         # compile), mirroring the streaming path's post-compile trace
         prof_chunk = 1 if cfg.profile_dir else -1
