@@ -80,9 +80,11 @@ def main():
 
     spec = (("GraphConv", (128, 256)), ("GraphConv", (256, 256)),
             ("Linear", (256, 3)))
+    # task_chunk=8 bounds live query adjacencies (a 32-task full vmap
+    # holds ~10 GB of densified A and OOMs 16 GB HBM)
     learner = MetaLearner(spec, 3, update_lr=0.01, meta_lr=1e-3,
                           update_step=10, update_step_test=20,
-                          track_curve=False)
+                          track_curve=False, task_chunk=8)
     learner.set_features(feats)
 
     out = {"tasks": T, "wire_mb": round(wire_mb, 1)}

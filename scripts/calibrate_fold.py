@@ -42,7 +42,7 @@ def probe_once(signal: float, out_dir: str, keep_replica: bool = False,
         make_fold_ppi(rep, signal=signal, noise=noise, assort=assort)
     args = argparse.Namespace(
         probe=True, epoch=0, batchsz=0, eval_batchsz=0,
-        device_task_pool=False, checkpoint=False,
+        device_task_pool=True, checkpoint=False, task_n=0, tag="",
         replicas=rep_root, out=os.path.join(out_dir, f"res_s{signal:.3f}"))
     res = run_parity.run_recipe("fold_ppi", args)
     if not keep_replica:

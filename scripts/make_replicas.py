@@ -195,8 +195,14 @@ def fold_graph(n, classes, local_k, hub_deg, hub_alpha, noise, assort, rng):
     return np.stack([uniq // n, uniq % n], 1), y
 
 
-def make_fold_ppi(out: str, seed=1, noise=0.50, signal=0.18, assort=0.5,
+def make_fold_ppi(out: str, seed=1, noise=0.50, signal=0.33, assort=0.5,
                   rank=6):
+    # signal=0.33 chosen by TRAIN-IN-THE-LOOP calibration
+    # (scripts/calibrate_fold.py, round 4): the numpy LDA proxy scores
+    # seen-class separability and landed the replica 15+ points under the
+    # band twice (signal=0.18 -> 0.425 trained); probing candidate signals
+    # through the production driver measured 0.22->0.527, 0.27->0.545,
+    # 0.33->0.570/0.584 vs the 0.578 reference target (parity_cal/).
     n_graphs, n, feat_dim, classes = 144, 1_200, 512, 29
     rng = np.random.RandomState(seed)
     graphs, feats, labels = [], [], []
