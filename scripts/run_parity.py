@@ -186,9 +186,25 @@ def run_recipe(name: str, args) -> dict:
         setattr(cfg, k, v)
     if args.checkpoint:
         # resumable long runs: window-granular snapshots; a rerun of the
-        # same recipe picks up where a killed run stopped
-        cfg.checkpoint_dir = os.path.join(args.out, f"{name}.ckpt")
+        # same recipe picks up where a killed run stopped. Checkpoints are
+        # only valid against the SAME replica: a finished checkpoint +
+        # regenerated replica would silently skip training and evaluate
+        # stale params on new data — wipe on dataset-identity mismatch.
+        cfg.checkpoint_dir = os.path.join(args.out, f"{name}{args.tag}.ckpt")
         cfg.checkpoint_every_steps = 50
+        g = os.path.join(rep_dir, "graphs.npz")
+        st = os.stat(g)
+        ident = f"{st.st_size}_{int(st.st_mtime)}"
+        marker = os.path.join(cfg.checkpoint_dir, "DATASET")
+        if os.path.isdir(cfg.checkpoint_dir):
+            old = (open(marker).read() if os.path.exists(marker) else "")
+            if old != ident:
+                import shutil
+                shutil.rmtree(cfg.checkpoint_dir)
+                print(f"# wiped stale checkpoint dir (dataset changed)")
+        os.makedirs(cfg.checkpoint_dir, exist_ok=True)
+        with open(marker, "w") as f:
+            f.write(ident)
     os.makedirs(args.out, exist_ok=True)
     cfg.metrics_path = os.path.join(args.out,
                                     f"{name}{args.tag}.metrics.jsonl")
