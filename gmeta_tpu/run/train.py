@@ -80,7 +80,10 @@ class Trainer:
         task_chunk = cfg.task_vmap_chunk
         a_bytes = 4 * (tr.B_spt * tr.P_spt ** 2 + tr.B_qry * tr.P_qry ** 2)
         if task_chunk < 0 and mesh is None:
-            fit = max(1, int(2.5e9 // max(a_bytes, 1)))
+            # 0.6 GB of live A per chunk: XLA double-buffers the chunk's
+            # adjacency (measured arxiv compile held 2 copies), so the real
+            # footprint is ~2x this; 2.5e9 here OOMed next to a resident pool
+            fit = max(1, int(6e8 // max(a_bytes, 1)))
             task_chunk = 0 if fit >= cfg.task_num else fit
         elif task_chunk < 0 or mesh is not None:
             task_chunk = 0
@@ -308,7 +311,7 @@ class Trainer:
         # be 15 GB of decoded windows next to the 9.5 GB pool).
         task_bytes = (sum(a.nbytes for a in jax.tree.leaves(pool_np))
                       / max(len(train), 1))
-        byte_cap = max(1, int(1e9 // max(task_bytes * cfg.task_num, 1)))
+        byte_cap = max(1, int(5e8 // max(task_bytes * cfg.task_num, 1)))
         del pool_np
         n_tasks = len(train)
         steps_per_epoch = n_tasks // cfg.task_num
