@@ -182,13 +182,18 @@ class MetaDataset:
     @property
     def suggested_agg(self) -> str:
         """Static aggregation-kernel choice for this split (models/gcn.py
-        `agg`): the size-aware Pallas kernel skips dead 128x128 tiles, so
-        it wins once >~20% of bin slots are padding; the plain XLA batched
-        matmul wins on near-full bins (no per-tile control overhead).
-        Decision is per-split (one compiled program either way)."""
+        `agg`), set by MEASUREMENT (round 4, scripts/bench_kernels.py +
+        end-to-end probes): XLA's batched dense matmul runs ~3x faster
+        per MAC than the size-aware Pallas kernel at every recipe bucket
+        (kernels.json — e.g. arxiv qry 687 us dense vs 2,059 us sized at
+        identical shapes), so tile-skipping only pays once it can skip
+        >2/3 of row tiles, i.e. mean bin fill < ~0.35. The previous 0.8
+        threshold cost 1.9x end-to-end on arxiv (147.5 vs 77.4 tasks/s,
+        parity_cal/agg_*). All five recipe splits (fill 0.52-0.77) now
+        pick dense."""
         if self.P_spt % 128 or self.P_qry % 128:
             return "dense"
-        return "sized" if self.mean_bin_fill < 0.8 else "dense"
+        return "sized" if self.mean_bin_fill < 0.35 else "dense"
 
     @property
     def mean_edges_per_task(self) -> float:

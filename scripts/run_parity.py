@@ -182,6 +182,8 @@ def run_recipe(name: str, args) -> dict:
         scaled["eval_batchsz"] = args.eval_batchsz
     if args.device_task_pool:
         scaled["device_task_pool"] = True
+    if args.agg:
+        scaled["agg"] = args.agg
     if args.remat:
         # rematerialize the inner-loop step: the backward pass otherwise
         # saves the (constant) densified adjacency once PER inner step as a
@@ -399,6 +401,8 @@ def main():
     ap.add_argument("--batchsz", type=int, default=0)
     ap.add_argument("--eval_batchsz", type=int, default=0)
     ap.add_argument("--device_task_pool", action="store_true")
+    ap.add_argument("--agg", default="",
+                    help="override the aggregation kernel (dense|sized)")
     ap.add_argument("--remat", action="store_true",
                     help="jax.checkpoint the inner step (saves the per-step"
                          " adjacency residuals; ~+30%% inner fwd compute)")
