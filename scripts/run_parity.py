@@ -298,7 +298,7 @@ def write_report(out_dir: str) -> None:
         else:
             pending.append(name)
     lines = [
-        "# PARITY — five-recipe accuracy reproduction (round 3)",
+        "# PARITY — five-recipe accuracy reproduction (round 4)",
         "",
         "Each reference recipe (G-Meta/README.md:66-179) trained end-to-end"
         " through the production",
@@ -374,6 +374,13 @@ def write_report(out_dir: str) -> None:
                 f" {a['test_acc_final_step']:.3f} /"
                 f" {a['best_model_acc']:.3f} | {s['tasks_per_s']:.1f} |")
     lines += [
+        "",
+        "`device_task_pool` and `remat_inner` overrides are EXECUTION modes"
+        " (HBM-resident compact",
+        "task pool; inner-step rematerialization) — exact same math and"
+        " training stream as the",
+        "streaming path (bit-identity locked by tests/test_trainer.py), not"
+        " hyperparameter changes.",
         "",
         "Per-recipe details (training length incl. any preset overrides,"
         " wall-clock split,",
