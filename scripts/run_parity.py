@@ -209,6 +209,20 @@ def run_recipe(name: str, args) -> dict:
                 import shutil
                 shutil.rmtree(cfg.checkpoint_dir)
                 print(f"# wiped stale checkpoint dir (dataset changed)")
+        # a COMPLETED run's checkpoint must not short-circuit a rerun into
+        # an eval-only pass (bit us twice: resumed at start_epoch==epoch,
+        # zero training, stale-params "result")
+        from gmeta_tpu.utils import checkpoint as _ckpt
+        latest = _ckpt.latest_path(cfg.checkpoint_dir) \
+            if os.path.isdir(cfg.checkpoint_dir) else None
+        if latest:
+            st_ck = _ckpt.restore(latest)
+            done = (int(st_ck.get("batch_in_epoch", -1)) < 0
+                    and int(st_ck["epoch"]) + 1 >= cfg.epoch)
+            if done:
+                import shutil
+                shutil.rmtree(cfg.checkpoint_dir)
+                print("# wiped completed-run checkpoint (fresh rerun)")
         os.makedirs(cfg.checkpoint_dir, exist_ok=True)
         with open(marker, "w") as f:
             f.write(ident)
