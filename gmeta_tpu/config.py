@@ -53,12 +53,12 @@ class Config:
                                         # and scan train_result_report_steps
                                         # meta-steps per dispatch (amortizes
                                         # host->device latency). Pools larger
-                                        # than pool_hbm_gb fall back to the
-                                        # host-resident windowed variant: the
-                                        # pool stays in host RAM and each
-                                        # K-step scan consumes one shipped
-                                        # window, transfer overlapped with
-                                        # the previous window's compute.
+                                        # than compact_pool_hbm_gb fall back
+                                        # to the host-resident windowed
+                                        # variant: the pool stays in host RAM
+                                        # and each K-step scan consumes one
+                                        # shipped window, transfer overlapped
+                                        # with the previous window's compute.
     compact_pool_hbm_gb: float = 10.0   # HBM budget for the COMPACT resident
                                         # pool (no masks, packed edges, ~2.5x
                                         # smaller than the full packed pool;
@@ -72,14 +72,6 @@ class Config:
                                         # -1 = auto (~2.5 GB of live A), 0 =
                                         # full vmap, N > 0 = explicit. Ignored
                                         # with a task-DP mesh.
-    pool_hbm_gb: float = 1.0            # device-resident pool size cap; above
-                                        # it the windowed host pool runs.
-                                        # Conservative on purpose: XLA's pool
-                                        # gather inside the scan body kept ~4
-                                        # full-pool temp copies (measured ToL
-                                        # OOM: a ~3.5 GB pool compiled to 23
-                                        # GB of HBM), so the real HBM cost is
-                                        # ~6x the pool's nbytes
     host_pool_window: int = 8           # meta-steps per shipped window in the
                                         # host-pool mode (window bytes =
                                         # K * task_num * task size; 8*32

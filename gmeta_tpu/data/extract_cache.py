@@ -10,12 +10,16 @@ would shift the stream for the misses — so the disk cache is only wired
 for the native engine; data/extract.py stays uncached on disk.)
 
 Format: one .npz of flattened arrays + offsets next to the dataset, keyed
-by the extraction parameters and the graphs file's identity
-(size + mtime), so a regenerated replica invalidates automatically.
+by the extraction parameters and the graphs file's CONTENT identity
+(size + sampled-bytes hash — NOT mtime, which a fresh clone/checkout
+resets, permanently orphaning every cache), so a regenerated replica
+invalidates automatically while a copied/recloned one keeps its cache.
 """
 
 from __future__ import annotations
 
+import glob
+import hashlib
 import os
 from typing import Dict
 
@@ -24,17 +28,62 @@ import numpy as np
 from gmeta_tpu.data.extract import Subgraph
 
 
+def graphs_identity(path: str) -> str:
+    """Content fingerprint of the graphs file: size + blake2b over the
+    first/middle/last 4 MB. Sampling keeps it O(ms) at ToL scale (the file
+    is 114 MB; hashing all of an 11 GB replica dir would cost more than it
+    saves) while still catching any regenerated replica — npz members are
+    stored with per-array headers, so a changed graph moves bytes
+    everywhere."""
+    st = os.stat(path)
+    hsh = hashlib.blake2b(digest_size=8)
+    chunk = 4 << 20
+    with open(path, "rb") as f:
+        for off in {0, max(st.st_size // 2 - chunk // 2, 0),
+                    max(st.st_size - chunk, 0)}:
+            f.seek(off)
+            hsh.update(f.read(chunk))
+    return f"{st.st_size}_{hsh.hexdigest()}"
+
+
 def cache_path(data_dir: str, h: int, sample_nodes: int,
                cap_strategy: str) -> str:
     g = os.path.join(data_dir, "graphs.npz")
+    prefix = f".extract_cache_h{h}_n{sample_nodes}_{cap_strategy}"
     try:
-        st = os.stat(g)
-        ident = f"{st.st_size}_{int(st.st_mtime)}"
+        ident = graphs_identity(g)
     except OSError:
         ident = "nograph"
-    return os.path.join(
-        data_dir, f".extract_cache_h{h}_n{sample_nodes}_{cap_strategy}"
-                  f"_{ident}.npz")
+    path = os.path.join(data_dir, f"{prefix}_{ident}.npz")
+    if not os.path.exists(path):
+        _migrate_legacy(data_dir, prefix, g, path)
+    return path
+
+
+def _migrate_legacy(data_dir: str, prefix: str, graphs_file: str,
+                    new_path: str) -> None:
+    """Adopt a pre-content-hash cache (keyed size_mtime) if its stat still
+    matches the live graphs file — saves the ~25 min ToL re-extraction on
+    the first run after the key change."""
+    try:
+        st = os.stat(graphs_file)
+    except OSError:
+        return
+    legacy = os.path.join(
+        data_dir, f"{prefix}_{st.st_size}_{int(st.st_mtime)}.npz")
+    if os.path.exists(legacy):
+        os.replace(legacy, new_path)
+
+
+def stale_paths(data_dir: str, current: str) -> list:
+    """Caches for the SAME (h, sample_nodes, cap_strategy) parameterization
+    as `current` but a different dataset identity — i.e. superseded by a
+    regenerated replica. Other parameterizations' caches are still valid
+    and must survive (two configs alternating on one dataset dir would
+    otherwise thrash each other's ~GB caches)."""
+    prefix = os.path.basename(current).rsplit("_", 2)[0]
+    return [p for p in glob.glob(
+        os.path.join(data_dir, f"{prefix}_*.npz")) if p != current]
 
 
 def save(path: str, cache: Dict[str, Subgraph]) -> None:

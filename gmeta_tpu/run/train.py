@@ -285,9 +285,10 @@ class Trainer:
         protocol (per-epoch val, early stopping, checkpointing, final tests)
         is identical to the streaming path.
 
-        Pools above cfg.pool_hbm_gb (arxiv: 10,000 tasks x ~2.4 MB packed =
-        ~24 GB vs 16 GB of v5e HBM) switch to the host-resident windowed
-        variant (_fit_host_pool)."""
+        Compact pools above cfg.compact_pool_hbm_gb (arxiv: 10,000 tasks x
+        ~1 MB compact = ~9.5 GB vs 16 GB of v5e HBM just fits; ToL's 5,000
+        larger tasks do not) switch to the host-resident windowed variant
+        (_fit_host_pool)."""
         cfg = self.cfg
         train = self.datasets["train"]
         pool_np = train.stacked_pool()
@@ -582,16 +583,15 @@ def build_datasets(cfg: Config):
             index_spt=split.get("spt"), index_qry=split.get("qry"),
             seed=cfg.seed + salt[mode], dense_labels=dense)
     if cache_file is not None:
-        import glob as _glob
         from gmeta_tpu.data import extract_cache
         known = 0
         if os.path.exists(cache_file):
             known = len(np.load(cache_file, allow_pickle=False)["names"])
         if len(extractor.cache) > known:
-            for stale in _glob.glob(os.path.join(
-                    cfg.data_dir, ".extract_cache_*.npz")):
-                if stale != cache_file:
-                    os.remove(stale)
+            # drop only THIS parameterization's superseded caches; other
+            # (h, sample_nodes, cap) configs' caches stay valid
+            for stale in extract_cache.stale_paths(cfg.data_dir, cache_file):
+                os.remove(stale)
             extract_cache.save(cache_file, extractor.cache)
             print(f"extraction cache: wrote {len(extractor.cache)} "
                   f"subgraphs to {cache_file}")

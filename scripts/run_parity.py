@@ -173,7 +173,7 @@ def run_recipe(name: str, args) -> dict:
         scaled["epoch"] = args.epoch
     if args.batchsz:
         scaled["batchsz"] = args.batchsz
-    if args.task_n:
+    if args.task_n is not None:
         # Tissue-PPI protocol: the reference averages 2-fold CV over task_n
         # values (README.md:92-112; test.ipynb cell 1 runs task_n=4 only) —
         # sweeping task_n shows the result is not a single-task artifact
@@ -184,6 +184,10 @@ def run_recipe(name: str, args) -> dict:
         scaled["device_task_pool"] = True
     if args.agg:
         scaled["agg"] = args.agg
+    if args.dtype:
+        # bf16 compute / f32 accumulate (SURVEY §5.8): models/gcn.py casts
+        # activations to bfloat16 and accumulates matmuls in f32
+        scaled["dtype"] = args.dtype
     if args.remat:
         # rematerialize the inner-loop step: the backward pass otherwise
         # saves the (constant) densified adjacency once PER inner step as a
@@ -424,11 +428,14 @@ def main():
     ap.add_argument("--device_task_pool", action="store_true")
     ap.add_argument("--agg", default="",
                     help="override the aggregation kernel (dense|sized)")
+    ap.add_argument("--dtype", default="",
+                    help="compute dtype override (bfloat16|float32)")
     ap.add_argument("--remat", action="store_true",
                     help="jax.checkpoint the inner step (saves the per-step"
                          " adjacency residuals; ~+30%% inner fwd compute)")
-    ap.add_argument("--task_n", type=int, default=0,
-                    help="tissue_ppi: which shared task to train (sweep)")
+    ap.add_argument("--task_n", type=int, default=None,
+                    help="tissue_ppi: which shared task to train (sweep);"
+                         " 0 is a valid index")
     ap.add_argument("--tag", default="",
                     help="suffix for the output json (e.g. _task2)")
     ap.add_argument("--checkpoint", action="store_true",

@@ -232,10 +232,26 @@ def test_multiworker_stream_matches_inline(tmp_path):
             np.testing.assert_array_equal(x, y)
 
 
+def _spy_host_pool(trainer):
+    """Wrap _fit_host_pool so the test can assert the routing actually
+    entered the host-windowed variant (round-4 advisor finding: earlier
+    tests set a dead config field and exercised the compact path twice)."""
+    hit = {"n": 0}
+    orig = trainer._fit_host_pool
+
+    def spy(*a, **k):
+        hit["n"] += 1
+        return orig(*a, **k)
+
+    trainer._fit_host_pool = spy
+    return hit
+
+
 def test_host_pool_matches_device_pool(tmp_path):
-    """The host-resident windowed pool (pool > pool_hbm_gb) must produce
-    BIT-IDENTICAL training to the device-resident pool: same epoch-seeded
-    step stream, same scan program, only the pool's residence differs."""
+    """The host-resident windowed pool (compact pool > compact_pool_hbm_gb)
+    must produce BIT-IDENTICAL training to the device-resident pool: same
+    epoch-seeded step stream, same scan program, only the pool's residence
+    differs."""
     store, ds = synthetic_disjoint(num_graphs=1, nodes_per_graph=150,
                                    avg_degree=5, feat_dim=8, num_classes=9,
                                    n_way=3, k_spt=3, k_qry=4, batchsz=12,
@@ -247,11 +263,14 @@ def test_host_pool_matches_device_pool(tmp_path):
     tr_dev = Trainer(dataclasses.replace(base), store, ds, labels_num=3)
     r_dev = tr_dev.fit()
 
-    # pool_hbm_gb=0 forces the host-windowed variant; window=2 steps
-    cfg = dataclasses.replace(base, pool_hbm_gb=0.0, host_pool_window=2,
+    # compact_pool_hbm_gb=0 forces the host-windowed variant; window=2 steps
+    cfg = dataclasses.replace(base, compact_pool_hbm_gb=0.0,
+                              host_pool_window=2,
                               metrics_path=str(tmp_path / "hp.jsonl"))
     tr_host = Trainer(cfg, store, ds, labels_num=3)
+    hit = _spy_host_pool(tr_host)
     r_host = tr_host.fit()
+    assert hit["n"] == 1, "host-windowed pool path was not entered"
 
     for a, b in zip(tr_dev.learner.params, tr_host.learner.params):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
@@ -272,10 +291,13 @@ def test_host_pool_midepoch_resume(tmp_path):
                                    h=2, sample_nodes=60, seed=3)
     base = Config(n_way=3, k_spt=3, k_qry=4, h=2, hidden_dim=8, epoch=1,
                   task_num=4, update_step=2, update_step_test=2,
-                  eval_batchsz=6, device_task_pool=True, pool_hbm_gb=0.0,
+                  eval_batchsz=6, device_task_pool=True,
+                  compact_pool_hbm_gb=0.0,
                   host_pool_window=2, train_result_report_steps=2)
     straight = Trainer(dataclasses.replace(base), store, ds, labels_num=3)
+    hit_s = _spy_host_pool(straight)
     straight.fit()
+    assert hit_s["n"] == 1, "host-windowed pool path was not entered"
 
     # checkpoint every 2 steps = every window; stop after epoch "0.5" by
     # restoring from the first mid-epoch snapshot
