@@ -152,6 +152,7 @@ class EdgePartTrainer:
         self.max_acc = 0.0
         self.best_params = self.engine.params
         self.start_epoch = 0
+        self.start_batch = 0   # in-epoch step position (mid-epoch resume)
         self.global_step = 0
         if cfg.checkpoint_dir:
             path = ckpt.latest_path(cfg.checkpoint_dir)
@@ -170,11 +171,20 @@ class EdgePartTrainer:
         self.max_acc = float(state["max_acc"])
         self.best_params = tuple(jnp.asarray(p) for p in state["best_params"])
         self.global_step = int(state["step"])
-        self.start_epoch = int(state["epoch"]) + 1
+        batch_in_epoch = int(state.get("batch_in_epoch", -1))
+        if batch_in_epoch >= 0:
+            # mid-epoch snapshot: the epoch's step stream is a pure function
+            # of (seed, epoch), so the position alone pins the remainder
+            self.start_epoch = int(state["epoch"])
+            self.start_batch = batch_in_epoch
+        else:
+            self.start_epoch = int(state["epoch"]) + 1
+            self.start_batch = 0
         self.metrics.echo_line(
-            f"resumed from {path} at epoch {self.start_epoch}")
+            f"resumed from {path} at epoch {self.start_epoch}"
+            f" batch {self.start_batch}")
 
-    def _save(self, epoch: int):
+    def _save(self, epoch: int, batch_in_epoch: int = -1):
         if not self.cfg.checkpoint_dir:
             return
         ckpt.save(self.cfg.checkpoint_dir, self.global_step, {
@@ -183,7 +193,7 @@ class EdgePartTrainer:
             "best_params": self.best_params,
             "max_acc": self.max_acc,
             "epoch": epoch,
-            "batch_in_epoch": -1,
+            "batch_in_epoch": batch_in_epoch,
             "step": self.global_step,
         })
 
@@ -215,13 +225,38 @@ class EdgePartTrainer:
         steps_per_epoch = n_tasks // cfg.task_num
         t_start = time.time()
         win_t, win_steps = time.time(), 0
+        # edges ingested per task: the full-graph path aggregates the WHOLE
+        # union graph for every task (no subgraph cap), so the packed path's
+        # "real spt+qry edges per task" analog is the union edge count —
+        # edges/s here measures full-graph aggregation throughput per layer
+        # pass, comparable across mesh_edges settings
+        graph_edges = self.comm["local_edges"] + self.comm["remote_edges"]
+        comm_rows = self.comm["comm_rows_per_layer"]
+        # jax.profiler window (SURVEY.md §5.1): skip the compile step, trace
+        # cfg.profile_steps device steps — same contract as run/train.py
+        prof_stop = (self.global_step + 1 + cfg.profile_steps
+                     if cfg.profile_dir else -1)
+        prof_active = False
+        steps_since_save = 0
 
         for epoch in range(self.start_epoch, cfg.epoch):
             rng = np.random.RandomState(cfg.seed + epoch)
             order = rng.permutation(n_tasks)[:steps_per_epoch * cfg.task_num]
-            for step, s in enumerate(range(0, len(order), cfg.task_num)):
+            skip = self.start_batch if epoch == self.start_epoch else 0
+            for step in range(skip, steps_per_epoch):
+                s = step * cfg.task_num
+                if prof_stop >= 0 and not prof_active \
+                        and self.global_step == prof_stop - cfg.profile_steps:
+                    jax.profiler.start_trace(cfg.profile_dir)
+                    prof_active = True
                 m = self.engine.train_step(
                     _slice_task(train, order[s:s + cfg.task_num]))
+                if prof_active and self.global_step + 1 >= prof_stop:
+                    jax.block_until_ready(m["meta_loss"])
+                    jax.profiler.stop_trace()
+                    prof_active = False
+                    self.metrics.echo_line(
+                        f"profiler trace written to {cfg.profile_dir}")
                 win_steps += 1
                 if step % cfg.train_result_report_steps == 0:
                     acc = float(np.asarray(m["qry_acc"]))  # sync point
@@ -237,8 +272,15 @@ class EdgePartTrainer:
                         qry_acc=acc, meta_loss=float(m["meta_loss"]),
                         nan_skip=int(m["nan_skip"]),
                         tasks_per_s=round(tasks_per_s, 2),
+                        edges_per_s=round(tasks_per_s * graph_edges, 1),
+                        comm_rows_per_layer=comm_rows,
                         rss_gb=rss_gb())
                 self.global_step += 1
+                steps_since_save += 1
+                if (cfg.checkpoint_every_steps
+                        and steps_since_save >= cfg.checkpoint_every_steps):
+                    self._save(epoch, batch_in_epoch=step + 1)
+                    steps_since_save = 0
 
             curves = self.evaluate("val")
             acc_curve = curves.mean(axis=0)
@@ -251,6 +293,9 @@ class EdgePartTrainer:
                 self.best_params = self.engine.params
             if (epoch + 1) % cfg.checkpoint_every_epochs == 0:
                 self._save(epoch)
+
+        if prof_active:  # fewer total steps than the requested trace window
+            jax.profiler.stop_trace()
 
         # dual final test incl. the reference's contaminated average
         # (train.py:129-146)

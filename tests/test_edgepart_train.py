@@ -264,3 +264,63 @@ def test_edgepart_trainer_full_protocol(tmp_path):
     tr2 = EdgePartTrainer(cfg, store, tasks, 2, mesh)
     assert tr2.start_epoch == 2
     assert tr2.global_step == res.global_step
+
+
+def test_edgepart_midepoch_kill_resume(tmp_path):
+    """Step-granular checkpointing on the edgepart path (VERDICT r4 item
+    6): kill mid-epoch, resume from the step snapshot, finish — params
+    match the uninterrupted run. The epoch's step stream is a pure
+    function of (seed, epoch), so the saved position pins the remainder."""
+    import dataclasses
+
+    from gmeta_tpu.config import Config
+    from gmeta_tpu.data.synthetic import synthetic_link_pred
+    from gmeta_tpu.run.edgepart import EdgePartTrainer, episodes_to_tasks
+
+    store, datasets = synthetic_link_pred(
+        num_graphs=5, nodes_per_graph=120, avg_degree=6, feat_dim=8,
+        k_spt=4, k_qry=4, batchsz=8, seed=2)
+    tasks = {m: episodes_to_tasks(ds.sampler, ds.labels, store, "Shared")
+             for m, ds in datasets.items()}
+    base = Config(task_setup="Shared", link_pred_mode=True, n_way=2,
+                  k_spt=4, k_qry=4, h=2, epoch=2, task_num=4, batchsz=8,
+                  hidden_dim=16, update_step=2, update_step_test=3,
+                  metrics_path="/dev/null")
+    mesh = make_mesh(task=2, edge=4)
+    straight = EdgePartTrainer(base, store, tasks, 2, mesh)
+    res_full = straight.fit()
+
+    # interrupted run: checkpoint every step; abort at step 3 of 4
+    # (mid-epoch 2)
+    cfg_k = dataclasses.replace(
+        base, checkpoint_dir=str(tmp_path / "ck_mid"),
+        checkpoint_every_steps=1)
+    tr_k = EdgePartTrainer(cfg_k, store, tasks, 2, mesh)
+
+    class _Kill(Exception):
+        pass
+
+    orig = tr_k.engine.train_step
+    calls = {"n": 0}
+
+    def killing_step(task):
+        if calls["n"] == 3:
+            raise _Kill()
+        calls["n"] += 1
+        return orig(task)
+
+    tr_k.engine.train_step = killing_step
+    try:
+        tr_k.fit()
+        raise AssertionError("expected _Kill")
+    except _Kill:
+        pass
+
+    tr_r = EdgePartTrainer(cfg_k, store, tasks, 2, mesh)
+    assert tr_r.start_epoch == 1 and tr_r.start_batch == 1, (
+        tr_r.start_epoch, tr_r.start_batch)
+    res_r = tr_r.fit()
+    assert res_r.global_step == res_full.global_step
+    for a, b in zip(straight.engine.params, tr_r.engine.params):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
