@@ -2,13 +2,16 @@
 recipe shapes, vs the reference's measured per-recipe throughput
 (test.ipynb cells 0-4; BASELINE.md).
 
-Each shape mirrors its recipe's compute geometry (episode structure,
-hidden width, update steps, feature width) with a synthetic graph sized so
-subgraph extraction behaves like the real dataset — the arxiv shape's
-2-hop neighborhoods EXCEED the sample_nodes=1000 cap (the reference's
-dominant regime, subgraph_data_processing.py:312-314), so support buckets
-pack at P=1024, unlike the undersized r01/r02 bench (flagged in VERDICT
-r1/r2).
+Each shape benches the EXACT bucket geometry of that recipe's run of
+record: when `parity/<recipe>.json` exists, its recorded compiled buckets
+(P/B/E per set), bin fill, and aggregation kernel are replayed on a
+synthesized packed pool — so this number bounds the production run from
+above (same compiled step shapes, zero host pipeline). Round 4's bench
+diverged from production by up to 40x in both directions because its
+synthetic graphs packed to different buckets than the replicas (VERDICT r4
+weak 3); deriving geometry from the runs of record closes that. Recipes
+without a parity record fall back to the synthetic-graph path (full
+extraction + packing at whatever buckets result).
 
 Per shape the JSON carries:
 - tasks_per_s and vs_baseline against that recipe's own BASELINE.md row
@@ -63,6 +66,96 @@ SHAPES = {
 }
 
 
+ROOT = os.path.dirname(os.path.abspath(__file__))
+
+# Replica feature width + head classes per recipe — pinned by the
+# reference's own printed parameter counts (BASELINE.md: 99,587 / 23,298 /
+# 82,563 / 17,794 / 67,330), which the parity runs match bit-for-bit.
+REPLICA_META = {
+    "arxiv": dict(feat=128, n_out=3),
+    "tissue_ppi": dict(feat=50, n_out=2),
+    "fold_ppi": dict(feat=512, n_out=3),
+    "firstmm_db": dict(feat=5, n_out=2),
+    "tree_of_life": dict(feat=1, n_out=2),
+}
+
+
+def _load_parity(name):
+    p = os.path.join(ROOT, "parity", f"{name}.json")
+    if os.path.exists(p):
+        with open(p) as f:
+            return json.load(f)
+    return None
+
+
+def _synth_set(rng, P, B, E, S, n_out, fill, n_feat, real_edges, link):
+    """One packed SubgraphSet at exactly the recorded bucket shape, with
+    per-bin live fill matching the run of record (the sized kernel's tile
+    skipping depends on it) and `real_edges` live intra-bin edges. Content
+    is random — step cost at these shapes depends on the shapes, the fill
+    and the gather widths, not on which neighbors the edges name."""
+    from gmeta_tpu.data.pack import SubgraphSet
+    live = np.full(B, min(max(int(round(fill * P)), 1), P), np.int32)
+    mask = (np.arange(P)[None, :] < live[:, None]).astype(np.float32)
+    node_gid = (rng.randint(0, n_feat, size=(B, P))
+                * (mask > 0)).astype(np.int32)
+    e = min(int(real_edges), E)
+    bins = rng.randint(0, B, size=e)
+    src_l = (rng.random_sample(e) * live[bins]).astype(np.int64)
+    dst_l = (rng.random_sample(e) * live[bins]).astype(np.int64)
+    flat_dst = bins * P + dst_l
+    order = np.argsort(flat_dst, kind="stable")   # nondecreasing dst
+    edge_src = np.zeros(E, np.int32)
+    edge_dst = np.full(E, B * P - 1, np.int32)
+    edge_mask = np.zeros(E, np.float32)
+    edge_src[:e] = (bins * P + src_l)[order]
+    edge_dst[:e] = flat_dst[order]
+    edge_mask[:e] = 1.0
+    centers = np.zeros((S, 2), np.int32)
+    for k in range(S):
+        b = k % B
+        c0 = int(rng.random_sample() * live[b])
+        c1 = int(rng.random_sample() * live[b]) if link else c0
+        centers[k] = (b * P + c0, b * P + c1)
+    labels = np.tile(np.arange(n_out), S // n_out + 1)[:S].astype(np.int32)
+    return SubgraphSet(node_gid=node_gid, node_mask=mask,
+                       edge_src=edge_src, edge_dst=edge_dst,
+                       edge_mask=edge_mask, centers=centers, labels=labels,
+                       bin_fill=live)
+
+
+def _pool_from_parity(name, s, rec):
+    """(features_table, stacked pool, mean_edges_per_task, agg) replaying
+    the run of record's compiled geometry: buckets + bin fill + kernel from
+    parity/<name>.json, episode structure from the preset."""
+    from gmeta_tpu.data.pack import TaskBatch, stack_tasks
+
+    meta = REPLICA_META[name]
+    b = rec["buckets"]
+    fill = float(rec.get("mean_bin_fill", 0.7))
+    agg = rec.get("agg", "dense")
+    link = s["kind"] == "link"
+    n_way = s.get("n_way", 2 if link else meta["n_out"])
+    S_spt = n_way * s["k_spt"]
+    S_qry = n_way * s["k_qry"]
+    mean_edges = (rec["edges_per_s"] / rec["tasks_per_s"]
+                  if rec.get("tasks_per_s") else 0.0)
+    E_tot = b["E_spt"] + b["E_qry"]
+    rng = np.random.RandomState(11)
+    n_feat = 200_000
+    feats = rng.randn(n_feat, meta["feat"]).astype(np.float32)
+    tasks = []
+    for _ in range(POOL):
+        spt = _synth_set(rng, b["P_spt"], b["B_spt"], b["E_spt"], S_spt,
+                         meta["n_out"], fill, n_feat,
+                         mean_edges * b["E_spt"] / E_tot, link)
+        qry = _synth_set(rng, b["P_qry"], b["B_qry"], b["E_qry"], S_qry,
+                         meta["n_out"], fill, n_feat,
+                         mean_edges * b["E_qry"] / E_tot, link)
+        tasks.append(TaskBatch(spt=spt, qry=qry))
+    return feats, stack_tasks(tasks), mean_edges, agg
+
+
 def _build_dataset(name, s):
     from gmeta_tpu.data.synthetic import (synthetic_disjoint,
                                           synthetic_link_pred,
@@ -99,25 +192,41 @@ def bench_shape(name: str, s: dict) -> dict:
     from gmeta_tpu.meta.maml import MetaLearner
 
     t0 = time.time()
-    store, train, n_out = _build_dataset(name, s)
+    rec = _load_parity(name)
+    if rec is not None:
+        feats, pool, mean_edges, agg = _pool_from_parity(name, s, rec)
+        buckets = dict(rec["buckets"])
+        n_out = REPLICA_META[name]["n_out"]
+        feat_dim = feats.shape[1]
+        geometry = "parity_buckets"
+    else:
+        store, train, n_out = _build_dataset(name, s)
+        feats, pool = store.features, train.stacked_pool()
+        mean_edges = train.mean_edges_per_task
+        agg = train.suggested_agg
+        feat_dim = store.feat_dim
+        buckets = dict(P_spt=train.P_spt, B_spt=train.B_spt,
+                       E_spt=train.E_spt, P_qry=train.P_qry,
+                       B_qry=train.B_qry, E_qry=train.E_qry)
+        geometry = "synthetic"
     data_s = time.time() - t0
-    print(f"# {name}: data {data_s:.1f}s buckets spt(P={train.P_spt},"
-          f"B={train.B_spt},E={train.E_spt}) qry(P={train.P_qry},"
-          f"B={train.B_qry},E={train.E_qry})", file=sys.stderr)
+    print(f"# {name}: data {data_s:.1f}s [{geometry}] buckets"
+          f" spt(P={buckets['P_spt']},B={buckets['B_spt']},"
+          f"E={buckets['E_spt']}) qry(P={buckets['P_qry']},"
+          f"B={buckets['B_qry']},E={buckets['E_qry']}) agg={agg}",
+          file=sys.stderr)
 
     cfg = Config(h=2, hidden_dim=s["hidden"],
                  link_pred_mode=(s["kind"] == "link"),
                  task_setup="Shared" if s["kind"] != "disjoint" else "Disjoint")
-    spec = build_model_config(cfg, store.feat_dim, n_out)
-    # same kernel selection the production Trainer makes (agg='auto')
-    agg = train.suggested_agg
+    spec = build_model_config(cfg, feat_dim, n_out)
     ml = MetaLearner(spec, n_out, update_lr=0.01, meta_lr=1e-3,
                      update_step=s["update_step"],
                      update_step_test=s["update_step"],
                      remat=False, compute_dtype=jnp.bfloat16, seed=0,
                      track_curve=False, agg=agg)
-    ml.set_features(store.features)
-    ml.set_task_pool(train.stacked_pool())
+    ml.set_features(feats)
+    ml.set_task_pool(pool)
 
     rng = np.random.RandomState(0)
     idx_mat = jnp.asarray(np.stack([
@@ -147,23 +256,27 @@ def bench_shape(name: str, s: dict) -> dict:
     dt = time.time() - t0
 
     tasks_per_s = MEASURE_STEPS * s["task_num"] / dt
-    mean_edges = train.mean_edges_per_task
     # padding waste of the dense aggregation: MAC slots vs real edges
-    slots = (train.B_spt * train.P_spt ** 2 + train.B_qry * train.P_qry ** 2)
+    slots = (buckets["B_spt"] * buckets["P_spt"] ** 2
+             + buckets["B_qry"] * buckets["P_qry"] ** 2)
     pad_waste = slots / max(mean_edges, 1.0)
-    return {
+    out = {
         "tasks_per_s": round(tasks_per_s, 2),
         "agg": agg,
+        "geometry": geometry,
         "vs_baseline": round(tasks_per_s / s["baseline"], 2),
         "edges_per_s": round(tasks_per_s * mean_edges, 1),
         "mfu": round(flops_total / dt / PEAK_FLOPS_BF16, 4),
         "pad_waste": round(pad_waste, 1),
         "compile_s": round(compile_s, 1),
         "step_s": round(dt / MEASURE_STEPS, 4),
-        "buckets": {"P_spt": train.P_spt, "B_spt": train.B_spt,
-                    "E_spt": train.E_spt, "P_qry": train.P_qry,
-                    "B_qry": train.B_qry, "E_qry": train.E_qry},
+        "buckets": buckets,
     }
+    if rec is not None and rec.get("tasks_per_s"):
+        # the production run this geometry replays — the bench number
+        # should bound it from above (same shapes, no host pipeline)
+        out["production_tasks_per_s"] = rec["tasks_per_s"]
+    return out
 
 
 def bench_extraction() -> dict:
