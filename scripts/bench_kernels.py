@@ -190,14 +190,52 @@ def bench_bucket(P, B, E, H, fill, iters, rng):
     return {k: round(v * 1e6, 1) for k, v in out.items()}   # microseconds
 
 
+def global_b_ab(iters: int, rng) -> dict:
+    """End-to-end sensitivity of the dense step to the split-global B
+    (PACKING.md §4): time the dominant arxiv qry aggregation at the
+    recorded global B vs the measured mean per-task need — the ceiling any
+    bin-compaction scheme could reclaim."""
+    shapes = load_shapes()
+    P, B_global, E = shapes["arxiv"]["qry"]
+    H = shapes["arxiv"]["H"][1]
+    fill = shapes["arxiv"]["fill"]
+    B_mean = 25   # measured mean per-task bin need (PACKING.md §3)
+    out = {"P": P, "H": H, "B_global": B_global, "B_mean_need": B_mean}
+    for tag, B in (("global", B_global), ("mean_need", B_mean)):
+        A, h, sizes, *_ = synth_bucket(P, B, E, H, fill, rng)
+        dense = jax.jit(lambda h, A: chained(
+            lambda x, A: aggregate_dense(A, x), h, A))
+        out[f"dense_f32_{tag}_us"] = round(
+            timeit(dense, jnp.asarray(h), jnp.asarray(A),
+                   iters=iters) * 1e6, 1)
+    out["speedup_ceiling"] = round(
+        out["dense_f32_global_us"] / out["dense_f32_mean_need_us"], 2)
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--out", default=os.path.join(ROOT, "kernels.json"))
+    ap.add_argument("--global-b-ab", action="store_true",
+                    help="only run the global-B sensitivity A/B and merge"
+                         " the result into the existing kernels.json")
     args = ap.parse_args()
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(ROOT, ".jax_cache"))
     rng = np.random.RandomState(0)
+
+    if getattr(args, "global_b_ab"):
+        ab = global_b_ab(args.iters, rng)
+        existing = {}
+        if os.path.exists(args.out):
+            with open(args.out) as f:
+                existing = json.load(f)
+        existing["global_b_ab"] = ab
+        with open(args.out, "w") as f:
+            json.dump(existing, f, indent=1)
+        print(json.dumps({"metric": "global_b_ab", **ab}))
+        return
 
     results = {"backend": jax.default_backend(), "unit": "us_per_layer_call"}
     for recipe, cfg in load_shapes().items():
