@@ -34,17 +34,34 @@ import run_parity  # noqa: E402
 
 
 def probe_once(signal: float, out_dir: str, keep_replica: bool = False,
-               noise: float = 0.50, assort: float = 0.5) -> dict:
-    rep_root = os.path.join(out_dir, f"s{signal:.3f}")
+               noise: float = 0.50, assort: float = 0.5,
+               private: float = 0.0, full: bool = False) -> dict:
+    """`full=True` runs the whole 5-epoch preset instead of the 3-epoch
+    probe — needed when the quantity under calibration is the early-stop
+    STRUCTURE (val peak epoch, best>final gap), which a truncated run
+    cannot show."""
+    tag = f"s{signal:.3f}_p{private:.2f}"
+    rep_root = os.path.join(out_dir, tag)
     rep = os.path.join(rep_root, "fold_ppi")
     if not os.path.exists(os.path.join(rep, "graphs.npz")):
-        print(f"# generating fold_ppi replica signal={signal}", flush=True)
-        make_fold_ppi(rep, signal=signal, noise=noise, assort=assort)
+        print(f"# generating fold_ppi replica signal={signal}"
+              f" private={private}", flush=True)
+        make_fold_ppi(rep, signal=signal, noise=noise, assort=assort,
+                      private=private)
     args = argparse.Namespace(
-        probe=True, epoch=0, batchsz=0, eval_batchsz=0,
-        device_task_pool=True, checkpoint=False, task_n=0, tag="",
-        replicas=rep_root, out=os.path.join(out_dir, f"res_s{signal:.3f}"))
+        probe=not full, epoch=0, batchsz=0, eval_batchsz=0, agg="", dtype="",
+        remat=False, device_task_pool=True, checkpoint=False, task_n=None,
+        tag="", replicas=rep_root,
+        out=os.path.join(out_dir, f"res_{tag}"))
     res = run_parity.run_recipe("fold_ppi", args)
+    # per-epoch val curve: the early-stop structure under calibration
+    vals = []
+    with open(os.path.join(args.out, "fold_ppi.metrics.jsonl")) as f:
+        for line in f:
+            r = json.loads(line)
+            if r["kind"] == "val":
+                vals.append(round(r["acc_curve"][-1], 4))
+    res["val_by_epoch"] = vals
     if not keep_replica:
         shutil.rmtree(rep, ignore_errors=True)
     return res
@@ -53,20 +70,31 @@ def probe_once(signal: float, out_dir: str, keep_replica: bool = False,
 def main():
     ap = argparse.ArgumentParser("calibrate_fold")
     ap.add_argument("--signals", default="0.22,0.27,0.33")
+    ap.add_argument("--privates", default="0.0",
+                    help="private-center strengths to cross with signals"
+                         " (early-stop-gap knob)")
+    ap.add_argument("--full", action="store_true",
+                    help="full 5-epoch preset per probe (early-stop"
+                         " structure needs the whole schedule)")
     ap.add_argument("--target", type=float, default=0.578)
     ap.add_argument("--out", default=os.path.join(ROOT, "parity_cal"))
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
 
     rows = []
-    for s in [float(x) for x in args.signals.split(",")]:
-        res = probe_once(s, args.out)
-        acc = res["acc"]["test_acc_final_step"]
-        rows.append({"signal": s, "probe_acc": acc,
-                     "best": res["acc"]["best_model_acc"],
-                     "ref_style": res["acc"]["test_acc_ref_style"]})
-        print(f"# signal={s}: probe acc {acc:.3f} (target {args.target})",
-              flush=True)
+    for p in [float(x) for x in args.privates.split(",")]:
+        for s in [float(x) for x in args.signals.split(",")]:
+            res = probe_once(s, args.out, private=p, full=args.full)
+            acc = res["acc"]["test_acc_final_step"]
+            rows.append({"signal": s, "private": p, "probe_acc": acc,
+                         "best": res["acc"]["best_model_acc"],
+                         "early_ref": res["acc"]["early_stopped_ref_style"],
+                         "ref_style": res["acc"]["test_acc_ref_style"],
+                         "val_by_epoch": res["val_by_epoch"]})
+            print(f"# signal={s} private={p}: final {acc:.3f} best"
+                  f" {res['acc']['best_model_acc']:.3f} val_by_epoch"
+                  f" {res['val_by_epoch']} (target {args.target})",
+                  flush=True)
 
     with open(os.path.join(args.out, "fold_sweep.json"), "w") as f:
         json.dump({"target": args.target, "rows": rows}, f, indent=1)

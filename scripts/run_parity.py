@@ -173,7 +173,7 @@ def run_recipe(name: str, args) -> dict:
         scaled["epoch"] = args.epoch
     if args.batchsz:
         scaled["batchsz"] = args.batchsz
-    if args.task_n is not None:
+    if getattr(args, "task_n", None) is not None:
         # Tissue-PPI protocol: the reference averages 2-fold CV over task_n
         # values (README.md:92-112; test.ipynb cell 1 runs task_n=4 only) —
         # sweeping task_n shows the result is not a single-task artifact
@@ -184,7 +184,7 @@ def run_recipe(name: str, args) -> dict:
         scaled["device_task_pool"] = True
     if args.agg:
         scaled["agg"] = args.agg
-    if args.dtype:
+    if getattr(args, "dtype", ""):
         # bf16 compute / f32 accumulate (SURVEY §5.8): models/gcn.py casts
         # activations to bfloat16 and accumulates matmuls in f32
         scaled["dtype"] = args.dtype
