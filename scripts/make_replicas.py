@@ -212,13 +212,19 @@ def make_fold_ppi(out: str, seed=1, noise=0.50, signal=0.33, assort=0.5,
     # 0.33->0.570/0.584 vs the 0.578 reference target (parity_cal/).
     #
     # `private` adds a per-class FULL-RANK center component on top of the
-    # shared rank-`rank` subspace. Train classes become separable through
-    # directions unseen classes have no energy in, so continued training
-    # trades transferable (shared-subspace) features for memorizable
-    # private ones — the overfitting mechanism behind the reference's
-    # early-stopped(0.656) > final(0.578) gap (test.ipynb cell 2;
-    # train.py:123-146 early-stop protocol), which a stationary replica
-    # cannot show (VERDICT r4 missing 2).
+    # shared rank-`rank` subspace — probed (round 5) as a candidate
+    # mechanism for the reference's early-stopped(0.656) > final(0.578)
+    # gap and MEASURED REJECTED: full-preset runs at private=0.3/0.6/1.0
+    # scored 0.485/0.418/0.438 (vs 0.549 at 0.0) with val still RISING
+    # every epoch (parity_cal/fold_sweep.json). The rejection exposed a
+    # protocol misread: the reference's own fold val accs rise to the last
+    # epoch too (test.ipynb cell 2: 0.478..0.543), so its 0.578-vs-0.656
+    # gap is NOT model selection — "Test acc" prints accs[1] (ONE finetune
+    # step, train.py:137) while "Early Stopped Test acc" prints the
+    # contaminated-list accs[-1] (step 20, train.py:146). The right
+    # calibration target is therefore ref_style(accs[1])~=0.578 AND
+    # final-step~=0.656, not final-step~=0.578 (round 4 calibrated to the
+    # latter, landing the whole curve ~0.12 low).
     n_graphs, n, feat_dim, classes = 144, 1_200, 512, 29
     rng = np.random.RandomState(seed)
     graphs, feats, labels = [], [], []
