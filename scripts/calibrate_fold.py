@@ -35,19 +35,21 @@ import run_parity  # noqa: E402
 
 def probe_once(signal: float, out_dir: str, keep_replica: bool = False,
                noise: float = 0.50, assort: float = 0.5,
-               private: float = 0.0, full: bool = False) -> dict:
+               private: float = 0.0, full: bool = False,
+               rank: int = 6) -> dict:
     """`full=True` runs the whole 5-epoch preset instead of the 3-epoch
     probe — needed when the quantity under calibration is the early-stop
     STRUCTURE (val peak epoch, best>final gap), which a truncated run
     cannot show."""
-    tag = f"s{signal:.3f}_p{private:.2f}"
+    tag = (f"s{signal:.3f}_p{private:.2f}_r{rank}"
+           f"_n{noise:.2f}_a{assort:.2f}")
     rep_root = os.path.join(out_dir, tag)
     rep = os.path.join(rep_root, "fold_ppi")
     if not os.path.exists(os.path.join(rep, "graphs.npz")):
         print(f"# generating fold_ppi replica signal={signal}"
               f" private={private}", flush=True)
         make_fold_ppi(rep, signal=signal, noise=noise, assort=assort,
-                      private=private)
+                      private=private, rank=rank)
     args = argparse.Namespace(
         probe=not full, epoch=0, batchsz=0, eval_batchsz=0, agg="", dtype="",
         remat=False, device_task_pool=True, checkpoint=False, task_n=None,
@@ -70,6 +72,12 @@ def probe_once(signal: float, out_dir: str, keep_replica: bool = False,
 def main():
     ap = argparse.ArgumentParser("calibrate_fold")
     ap.add_argument("--signals", default="0.22,0.27,0.33")
+    ap.add_argument("--noises", default="0.50",
+                    help="ring label-flip fractions (homophily knob)")
+    ap.add_argument("--assorts", default="0.5",
+                    help="hub class-assortativity values")
+    ap.add_argument("--ranks", default="6",
+                    help="shared-subspace ranks to cross (one-step transfer knob)")
     ap.add_argument("--privates", default="0.0",
                     help="private-center strengths to cross with signals"
                          " (early-stop-gap knob)")
@@ -82,16 +90,26 @@ def main():
     os.makedirs(args.out, exist_ok=True)
 
     rows = []
-    for p in [float(x) for x in args.privates.split(",")]:
+    ranks = [int(x) for x in args.ranks.split(",")]
+    for rk in ranks:
+     for nz in [float(x) for x in args.noises.split(",")]:
+      for az in [float(x) for x in args.assorts.split(",")]:
+       for p in [float(x) for x in args.privates.split(",")]:
         for s in [float(x) for x in args.signals.split(",")]:
-            res = probe_once(s, args.out, private=p, full=args.full)
+            res = probe_once(s, args.out, private=p, full=args.full,
+                             rank=rk, noise=nz, assort=az)
             acc = res["acc"]["test_acc_final_step"]
-            rows.append({"signal": s, "private": p, "probe_acc": acc,
+            rows.append({"signal": s, "private": p, "rank": rk,
+                         "noise": nz, "assort": az,
+                         "probe_acc": acc,
                          "best": res["acc"]["best_model_acc"],
                          "early_ref": res["acc"]["early_stopped_ref_style"],
                          "ref_style": res["acc"]["test_acc_ref_style"],
                          "val_by_epoch": res["val_by_epoch"]})
-            print(f"# signal={s} private={p}: final {acc:.3f} best"
+            print(f"# signal={s} private={p} rank={rk} noise={nz}"
+                  f" assort={az}: final"
+                  f" {acc:.3f} ref_style"
+                  f" {res['acc']['test_acc_ref_style']:.3f} best"
                   f" {res['acc']['best_model_acc']:.3f} val_by_epoch"
                   f" {res['val_by_epoch']} (target {args.target})",
                   flush=True)

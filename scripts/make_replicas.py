@@ -202,14 +202,21 @@ def fold_graph(n, classes, local_k, hub_deg, hub_alpha, noise, assort, rng):
     return np.stack([uniq // n, uniq % n], 1), y
 
 
-def make_fold_ppi(out: str, seed=1, noise=0.50, signal=0.33, assort=0.5,
-                  rank=6, private=0.0):
-    # signal=0.33 chosen by TRAIN-IN-THE-LOOP calibration
-    # (scripts/calibrate_fold.py, round 4): the numpy LDA proxy scores
-    # seen-class separability and landed the replica 15+ points under the
-    # band twice (signal=0.18 -> 0.425 trained); probing candidate signals
-    # through the production driver measured 0.22->0.527, 0.27->0.545,
-    # 0.33->0.570/0.584 vs the 0.578 reference target (parity_cal/).
+def make_fold_ppi(out: str, seed=1, noise=0.35, signal=0.42, assort=0.7,
+                  rank=3, private=0.0):
+    # Knobs set by TRAIN-IN-THE-LOOP calibration against BOTH reference
+    # numbers read correctly (round 5; round 4 had calibrated final-step to
+    # 0.578, which is the reference's accs[1] — see the `private` note
+    # below). Full-preset production-driver sweeps (parity_cal/,
+    # logs round 5): homophily is the level lever (noise 0.50->0.35 +
+    # assort 0.5->0.7 moved final 0.61->0.73) and the shared-subspace RANK
+    # is the one-step-transfer lever — rank=3 makes meta-training cover
+    # the whole class subspace, lifting accs[1] 0.517->0.575 and
+    # flattening the finetune curve (rank 4: 0.496; rank 6: 0.517; rank
+    # 12: 0.354). At (noise .35, assort .7, rank 3, signal .42):
+    # ref-style 0.575 vs reference 0.578, final-step 0.687 vs 0.656 —
+    # and the val curve now DECLINES from epoch 1 (0.709..0.682) like a
+    # genuine early-stop structure.
     #
     # `private` adds a per-class FULL-RANK center component on top of the
     # shared rank-`rank` subspace — probed (round 5) as a candidate

@@ -316,7 +316,7 @@ def write_report(out_dir: str) -> None:
         else:
             pending.append(name)
     lines = [
-        "# PARITY — five-recipe accuracy reproduction (round 4)",
+        "# PARITY — five-recipe accuracy reproduction (round 5)",
         "",
         "Each reference recipe (G-Meta/README.md:66-179) trained end-to-end"
         " through the production",
@@ -335,9 +335,19 @@ def write_report(out_dir: str) -> None:
         " (BASELINE.md). The",
         "reference's \"Test acc\" prints the accuracy after the FIRST finetune"
         " step (accs[1],",
-        "train.py:137) and its \"Early Stopped\" figure averages a"
-        " contaminated list (train.py:130-146);",
-        "both reference-style numbers and the clean ones are reported.",
+        "train.py:137) and its \"Early Stopped\" figure is the LAST finetune"
+        " step (accs[-1]) of a",
+        "contaminated list (train.py:130-146). Where the reference's own"
+        " vals rise to the final",
+        "epoch (tissue/fold/firstmm — fold cell 2: 0.478..0.543, best model"
+        " ~= last), its",
+        "final-vs-early gap measures the finetune-curve rise"
+        " accs[1]->accs[-1], NOT early stopping;",
+        "arxiv (val peak at epoch 1) and ToL (peak at 10/15) add a genuine"
+        " selection effect on",
+        "top. Comparable columns: our ref-style vs ref final; our"
+        " final-step/best vs ref early.",
+        "Both reference-style numbers and the clean ones are reported.",
         "",
         "| recipe | params (=ref) | acc ref-style / final-step / best | ref"
         " final / early | tasks/s (ref) | peak RSS GB (ref) | logit parity"
