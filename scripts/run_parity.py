@@ -403,6 +403,26 @@ def write_report(out_dir: str) -> None:
                 f" {a['best_model_acc']:.3f} | {s['tasks_per_s']:.1f} |")
     lines += [
         "",
+        "Known structural residuals (measured, with the sweep evidence in"
+        " `parity_cal/`):",
+        "",
+        "- firstmm_db sits ~0.02 under the band at its measured knob"
+        " optimum (beta sweep peaked",
+        "  at 3.5): degree-proportional negative sampling — the reference's"
+        " own spec",
+        "  (link_process.py:50-64) — draws negative endpoints from the same"
+        " activity tail as the",
+        "  positives, bounding pos/neg mean separation (pair-LDA 0.55-0.60"
+        " across the knob grid).",
+        "- tree_of_life matches ref-style (-0.012) but not the +0.03"
+        " finetune-curve rise of the",
+        "  reference's early number: with the dataset's single scalar"
+        " feature, the replica's",
+        "  adaptation saturates at step 1 (curve 0.682->0.683); the",
+        "  reference's rise (0.694->0.723) needs a feature channel that"
+        " only finetuning can",
+        "  exploit, which a 1-dim feature space cannot express.",
+        "",
         "`device_task_pool` and `remat_inner` overrides are EXECUTION modes"
         " (HBM-resident compact",
         "task pool; inner-step rematerialization) — exact same math and"
