@@ -119,20 +119,28 @@ class EdgePartMetaTrainer:
             for i, _ in enumerate(layer_dims):
                 W, b = w[2 * i], w[2 * i + 1]
                 h = h * norm
-                # issue the boundary exchange FIRST...
-                send = h[send_idx] * send_mask[..., None]          # (D, M, H)
-                recv = jax.lax.all_to_all(send, "edge", split_axis=0,
-                                          concat_axis=0, tiled=False)
-                table = recv.reshape(D * M, -1)
+                if D > 1:
+                    # issue the boundary exchange FIRST...
+                    send = h[send_idx] * send_mask[..., None]      # (D, M, H)
+                    recv = jax.lax.all_to_all(send, "edge", split_axis=0,
+                                              concat_axis=0, tiled=False)
+                    table = recv.reshape(D * M, -1)
                 # ...aggregate local edges while it is in flight...
                 local = jax.ops.segment_sum(
                     h[local_src] * local_mask[:, None], local_dst,
                     num_segments=Vb, indices_are_sorted=True)
-                # ...then fold in the remote contribution.
-                remote = jax.ops.segment_sum(
-                    table[remote_src] * remote_mask[:, None], remote_dst,
-                    num_segments=Vb, indices_are_sorted=True)
-                agg = local + remote
+                if D > 1:
+                    # ...then fold in the remote contribution.
+                    remote = jax.ops.segment_sum(
+                        table[remote_src] * remote_mask[:, None], remote_dst,
+                        num_segments=Vb, indices_are_sorted=True)
+                    agg = local + remote
+                else:
+                    # single shard: every edge is local; the zero-size halo
+                    # all_to_all is skipped STATICALLY (D is a trace-time
+                    # constant) — the degenerate (1, 0, H) collective
+                    # crashed the TPU runtime on the 5.33M-node ToL union
+                    agg = local
                 h = jnp.dot(agg, W, preferred_element_type=jnp.float32)
                 h = h * norm + b
                 h = jax.nn.relu(h)
