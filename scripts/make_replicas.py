@@ -142,7 +142,7 @@ def class_features(y: np.ndarray, feat_dim: int, signal: float,
             + rng.randn(len(y), feat_dim)).astype(np.float32)
 
 
-def shared_subspace_centers(classes: int, feat_dim: int, rank: int,
+def shared_subspace_centers(classes: int, feat_dim: int, rank: float,
                             rng) -> np.ndarray:
     """Class centers drawn from a SHARED rank-`rank` subspace (unit-variance
     entries). With isotropic full-rank centers, a model trained on the
@@ -151,9 +151,20 @@ def shared_subspace_centers(classes: int, feat_dim: int, rank: int,
     train-class acc 0.455 while val held at chance 0.334 on the arxiv
     replica. Real features (e.g. arxiv's abstract embeddings) put all
     classes in one informative subspace, which is what makes Disjoint
-    meta-learning transfer; rank-sharing reproduces that."""
-    U = rng.randn(rank, feat_dim).astype(np.float32) / np.sqrt(rank)
-    return (rng.randn(classes, rank).astype(np.float32) @ U)
+    meta-learning transfer; rank-sharing reproduces that.
+
+    A FRACTIONAL rank r0 + f draws ceil(r) directions with the last one's
+    coefficient scaled by f — the one-step-transfer number moves ~0.07 per
+    integer rank (make_arxiv note), so the fraction is the fine knob when
+    the target falls between integers."""
+    r0 = int(rank)
+    frac = float(rank) - r0
+    r = r0 + (1 if frac > 0 else 0)
+    U = rng.randn(r, feat_dim).astype(np.float32) / np.sqrt(max(rank, 1.0))
+    coef = rng.randn(classes, r).astype(np.float32)
+    if frac > 0:
+        coef[:, -1] *= frac
+    return coef @ U
 
 
 def smooth_field(n: int, feat_dim: int, win: int,
