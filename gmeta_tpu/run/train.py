@@ -602,7 +602,10 @@ def build_datasets(cfg: Config):
 
 
 def main(argv=None):
-    ap = argparse.ArgumentParser("gmeta_tpu.run.train")
+    # allow_abbrev=False: the reference README's misspelled `--link_pred_mod
+    # True` only worked through argparse prefix matching (train.py:174,
+    # README.md:153,177); flags must be spelled out here (MIGRATION.md).
+    ap = argparse.ArgumentParser("gmeta_tpu.run.train", allow_abbrev=False)
     ap.add_argument("--preset", choices=sorted(PRESETS), default=None)
     for f in dataclasses.fields(Config):
         if f.type in ("int", "float", "str"):
